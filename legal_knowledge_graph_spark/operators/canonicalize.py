@@ -1,0 +1,250 @@
+"""st3 — entity linking + canonicalization (the algorithmic heart).
+
+Distributed re-expression of the reference's normalizer
+(/root/reference/src/normalization/normalizer.py:38-310):
+
+  dictionary pre-match (J1)  -> broadcast hash join on lowered text
+  similarity clustering (A1) -> candidate pairs (MinHashLSH over token
+                                sets, or deterministic token-blocking) ->
+                                JVM-side verify (containment 0.9 /
+                                same-dict-canonical 0.95 / token Jaccard,
+                                threshold 0.6; normalizer.py:144,168-199)
+                                -> connected components (large-star /
+                                small-star)
+  representative selection   -> least dict canonical in cluster, else
+                                longest text (normalizer.py:257-277)
+  cluster -> node (A2)       -> groupBy aggregates + the reference
+                                confidence formula (normalizer.py:279-305)
+
+Scale design:
+- clustering runs over DISTINCT surface forms (entity_type, text), not raw
+  mentions — typically orders of magnitude smaller; mention-level stats
+  re-join at the end.
+- node identity is content-derived: sha2(entity_type, canonical_name)
+  (SURVEY §1.3) — clusters that share a dictionary canonical unify by
+  name, exactly like the reference's representative naming.
+- all verify math is Catalyst column expressions (whole-stage codegen);
+  Python only tokenizes (Arrow-batched pandas UDF).
+- collect_set aggregates are capped (slice+sort) so a mega-cluster cannot
+  blow an executor (SURVEY §4.2 spill-aware).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..functions.tokenize import split_tokens
+from ..schema import SIMILARITY_TYPES, dictionary_rows
+from .components import connected_components
+from .mentions import filter_pronouns
+
+ALIAS_CAP = 50
+BLOCK_IDS_CAP = 100
+# tokens occurring in more surface forms than this are excluded from
+# blocking (they cannot alone certify a merge; guards candidate blowup)
+TOKEN_DF_CAP = 1000
+
+_SEP = "\x1f"
+
+
+def dictionary_df(spark: SparkSession) -> DataFrame:
+    rows = dictionary_rows()
+    return spark.createDataFrame(
+        rows, "alias_lc string, dict_canonical string, entity_type string, dict_conf double"
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _tokens_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: sorted(set(split_tokens(t or ""))))
+
+
+def build_forms(entity_mentions: DataFrame, spark: SparkSession) -> DataFrame:
+    """Distinct surface forms with mention stats + dictionary pre-match
+    (J1: broadcast hash join, normalizer.py:66-96)."""
+    forms = entity_mentions.groupBy("entity_type", "text").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.min("block_type").alias("block_type_min"),
+    )
+    dic = dictionary_df(spark)
+    forms = forms.join(
+        F.broadcast(dic),
+        (F.lower(forms["text"]) == dic["alias_lc"])
+        & (forms["entity_type"] == dic["entity_type"]),
+        "left",
+    ).select(
+        forms["entity_type"], forms["text"], "n_mentions", "block_type_min",
+        "dict_canonical",
+    )
+    # is_dict mirrors normalizer.py:86: matched iff canonical differs
+    return forms.withColumn(
+        "is_dict",
+        F.col("dict_canonical").isNotNull() & (F.col("dict_canonical") != F.col("text")),
+    ).withColumn("fid", F.xxhash64("entity_type", "text"))
+
+
+def candidate_pairs_token_blocking(forms_tok: DataFrame) -> DataFrame:
+    """Deterministic blocking: forms sharing any non-ubiquitous token are
+    candidates. One shuffle on (entity_type, token); df-capped."""
+    tok = forms_tok.select(
+        "entity_type", "fid", F.explode("tokens").alias("token"))
+    df_ok = (
+        tok.groupBy("entity_type", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= TOKEN_DF_CAP)
+        .select("entity_type", "token")
+    )
+    tok = tok.join(df_ok, ["entity_type", "token"])
+    a = tok.alias("a")
+    b = tok.alias("b")
+    return (
+        a.join(b, (F.col("a.entity_type") == F.col("b.entity_type"))
+               & (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.fid") < F.col("b.fid")))
+        .select(F.col("a.fid").alias("fa"), F.col("b.fid").alias("fb"))
+        .dropDuplicates(["fa", "fb"])
+    )
+
+
+def candidate_pairs_minhash_lsh(
+    forms_tok: DataFrame, distance_threshold: float = 0.85, num_hash_tables: int = 5
+) -> DataFrame:
+    """MinHashLSH candidate generation (north_star-mandated path; J2 in
+    SURVEY §2.3): token sets -> binary HashingTF -> MinHashLSH ->
+    approxSimilarityJoin at generous Jaccard distance; exact verify
+    happens downstream either way."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    nonempty = forms_tok.where(F.size("tokens") > 0)
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(nonempty).select("entity_type", "fid", "tf")
+    lsh = MinHashLSH(inputCol="tf", outputCol="mh", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, distance_threshold, distCol="d")
+    return (
+        joined.where(
+            (F.col("datasetA.entity_type") == F.col("datasetB.entity_type"))
+            & (F.col("datasetA.fid") < F.col("datasetB.fid"))
+        )
+        .select(F.col("datasetA.fid").alias("fa"), F.col("datasetB.fid").alias("fb"))
+        .dropDuplicates(["fa", "fb"])
+    )
+
+
+def verify_pairs(pairs: DataFrame, forms_tok: DataFrame) -> DataFrame:
+    """Exact pair scoring, all JVM-side (normalizer.py:168-199 spec with
+    token-boundary containment — see functions/tokenize.py)."""
+    left = forms_tok.select(
+        F.col("fid").alias("fa"), F.col("tokens").alias("tok_a"),
+        F.col("text").alias("text_a"), F.col("dict_canonical").alias("can_a"))
+    right = forms_tok.select(
+        F.col("fid").alias("fb"), F.col("tokens").alias("tok_b"),
+        F.col("text").alias("text_b"), F.col("dict_canonical").alias("can_b"))
+    p = pairs.join(left, "fa").join(right, "fb")
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size(F.array_union("tok_a", "tok_b"))
+    subset = (inter > 0) & (inter == F.least(F.size("tok_a"), F.size("tok_b")))
+    same_dict = (
+        F.col("can_a").isNotNull() & (F.col("can_a") == F.col("can_b"))
+        & (F.col("can_a") != F.col("text_a")) & (F.col("can_b") != F.col("text_b"))
+    )
+    score = (
+        F.when(subset, F.lit(0.9))
+        .when(same_dict, F.lit(0.95))
+        .otherwise(inter / F.greatest(union, F.lit(1)))
+    )
+    return p.select("fa", "fb", score.alias("score")).where(F.col("score") >= 0.6)
+
+
+def canonicalize(
+    mentions: DataFrame, spark: SparkSession, use_lsh: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """mentions -> (nodes, form_map).
+
+    form_map(entity_type, text, entity_id, canonical_name) resolves triple
+    endpoints in st5 (J3).
+    """
+    entity_mentions = filter_pronouns(mentions)
+    forms = build_forms(entity_mentions, spark)
+
+    sim = forms.where(F.col("entity_type").isin(list(SIMILARITY_TYPES)))
+    ident = forms.where(~F.col("entity_type").isin(list(SIMILARITY_TYPES)))
+
+    sim_tok = sim.withColumn("tokens", _tokens_udf("text")).localCheckpoint()
+
+    cands = (
+        candidate_pairs_minhash_lsh(sim_tok)
+        if use_lsh
+        else candidate_pairs_token_blocking(sim_tok)
+    )
+    merges = verify_pairs(cands, sim_tok)
+
+    comp = connected_components(
+        merges.select(F.col("fa").alias("src"), F.col("fb").alias("dst")))
+    clustered = sim_tok.join(
+        comp, sim_tok["fid"] == comp["id"], "left"
+    ).select(
+        sim_tok["*"],
+        F.coalesce(comp["component"], sim_tok["fid"]).alias("component"),
+    )
+
+    # representative per component: least dict canonical, else longest text
+    # (ties -> lexicographically greatest) — normalizer.py:257-277 made
+    # order-free.
+    reps = clustered.groupBy("component").agg(
+        F.min("dict_canonical").alias("rep_dict"),
+        F.max(F.struct(F.length("text").alias("l"), F.col("text"))).alias("rep_long"),
+    ).select(
+        "component",
+        F.coalesce("rep_dict", F.col("rep_long.text")).alias("canonical_name"),
+    )
+    sim_mapped = clustered.join(reps, "component").withColumn(
+        "entity_id",
+        F.sha2(F.concat_ws(_SEP, "entity_type", "canonical_name"), 256),
+    )
+    ident_mapped = ident.withColumn("canonical_name", F.col("text")).withColumn(
+        "entity_id",
+        F.sha2(F.concat_ws(_SEP, "entity_type", "canonical_name"), 256),
+    )
+    cols = ["entity_type", "text", "n_mentions", "block_type_min", "is_dict",
+            "canonical_name", "entity_id"]
+    form_map = sim_mapped.select(cols).unionByName(ident_mapped.select(cols))
+    form_map = form_map.localCheckpoint()
+
+    # ---- cluster -> node aggregation (A2), node identity = entity_id ----
+    mention_stats = (
+        entity_mentions.select("entity_type", "text", "block_id")
+        .join(form_map.select("entity_type", "text", "entity_id", "is_dict"),
+              ["entity_type", "text"])
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.sum(F.when(F.col("is_dict"), 1).otherwise(0)).alias("n_dict"),
+            F.slice(F.sort_array(F.collect_set("block_id")), 1, BLOCK_IDS_CAP)
+            .alias("source_block_ids"),
+        )
+    )
+    node_forms = form_map.groupBy("entity_id").agg(
+        F.first("entity_type").alias("entity_type"),
+        F.first("canonical_name").alias("canonical_name"),
+        F.slice(F.sort_array(F.collect_set("text")), 1, ALIAS_CAP)
+        .alias("original_names"),
+        F.min("block_type_min").alias("block_type"),
+    )
+    nodes = node_forms.join(mention_stats, "entity_id").select(
+        "entity_id", "entity_type", "canonical_name",
+        F.expr("filter(original_names, x -> x != canonical_name)").alias("aliases"),
+        "original_names",
+        "n_mentions",
+        "block_type",
+        # confidence formula, normalizer.py:279-305
+        F.when(
+            F.col("n_dict") > 0,
+            F.least(F.lit(0.9), 0.7 + 0.2 * (F.col("n_dict") / F.col("n_mentions"))),
+        ).otherwise(
+            0.5 + 0.3 * F.least(F.lit(1.0), F.col("n_mentions") / F.lit(3.0))
+        ).alias("confidence"),
+        "source_block_ids",
+    )
+    return nodes, form_map

