@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — the full KG-construction pipeline
+  (segment -> mentions -> canonicalize -> triples -> edge-norm -> coref)
+  on the deterministic synthetic code corpus sized for sf0.001; returns
+  the final edges DataFrame.
+- ``queries()``: one entry per implemented operator family
+  (SURVEY.md §2 + training-data ops); each takes (spark, sf_dir).
+- ``oracle_sql()``: DuckDB-runnable SQL equivalents. Omitted only for
+  genuinely non-SQL ops (MinHashLSH banding, SimHash, LSH-ANN, the full
+  KG pipeline whose corpus is generated in Python, multimodal stubs) —
+  those get the driver's rows-only check and are additionally
+  golden-tested in tests/.
+
+Column names and types are aligned pairwise (the driver hashes values
+after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from legal_knowledge_graph_spark.corpus import corpus_df
+from legal_knowledge_graph_spark.operators import doc_kg
+from legal_knowledge_graph_spark.operators.dedup import (
+    embedding_near_dup_pairs, exact_duplicates, minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_near_dup_pairs,
+)
+from legal_knowledge_graph_spark.operators.multimodal import (
+    extract_features, synthetic_assets,
+)
+from legal_knowledge_graph_spark.operators.similarity import (
+    knn_bruteforce, knn_lsh,
+)
+from legal_knowledge_graph_spark.operators.text_analysis import (
+    BPE_ISH_TOKEN_RE, EN_STOPWORDS, fingerprints, language_id, quality_scores,
+    token_counts,
+)
+from legal_knowledge_graph_spark.plans import run_pipeline
+
+_CORPUS_FILES = {"sf0.001": 60, "sf0.01": 240, "sf0.1": 1000}
+_KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _corpus_size(sf_dir: str) -> int:
+    return _CORPUS_FILES.get(os.path.basename(sf_dir.rstrip("/")), 240)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    files = corpus_df(spark, _CORPUS_FILES["sf0.001"], seed=42)
+    res = run_pipeline(spark, files, use_lsh=True)
+    return res.edges.select(
+        "edge_id", "subject_canonical", "predicate", "object_canonical",
+        "confidence", "need_coref", "validation_passed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        F.broadcast(c).join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q6_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q4_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def top_customers_per_nation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    tot = (
+        o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total_spend"))
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey").asc())
+    return (
+        tot.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", F.round("total_spend", 4).alias("total_spend"),
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def events_user_top_type(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc())
+    return (
+        cnt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+def events_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_id", k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+# --- doc-KG (SQL-checkable KG semantics on shared data) --------------------
+def kg_doc_mentions(spark, sf_dir):
+    return doc_kg.doc_term_mentions(_t(spark, sf_dir, "documents"), spark)
+
+
+def kg_doc_triples(spark, sf_dir):
+    return doc_kg.doc_term_triples(_t(spark, sf_dir, "documents"), spark)
+
+
+def kg_term_nodes(spark, sf_dir):
+    return doc_kg.term_nodes(_t(spark, sf_dir, "documents"), spark)
+
+
+def kg_term_cooccurrence(spark, sf_dir):
+    return doc_kg.term_cooccurrence_edges(_t(spark, sf_dir, "documents"), spark)
+
+
+# --- full KG pipeline on the synthetic code corpus (rows-only) -------------
+def kg_pipeline_nodes(spark, sf_dir):
+    res = run_pipeline(spark, corpus_df(spark, _corpus_size(sf_dir), seed=42),
+                       use_lsh=True)
+    return res.nodes.select("entity_type", "canonical_name", "n_mentions",
+                            "confidence")
+
+
+def kg_pipeline_edges(spark, sf_dir):
+    res = run_pipeline(spark, corpus_df(spark, _corpus_size(sf_dir), seed=42),
+                       use_lsh=True)
+    return res.edges.where(~F.col("need_coref")).select(
+        "subject_canonical", "predicate", "object_canonical", "confidence")
+
+
+# --- text analysis ----------------------------------------------------------
+def doc_token_count(spark, sf_dir):
+    out = token_counts(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"))
+
+
+def doc_quality(spark, sf_dir):
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def doc_lang_id(spark, sf_dir):
+    out = language_id(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("en_hits").cast("int").alias("en_hits"),
+        F.col("de_hits").cast("int").alias("de_hits"),
+        F.col("fr_hits").cast("int").alias("fr_hits"), "predicted_lang")
+
+
+def doc_fingerprint(spark, sf_dir):
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# --- dedup ------------------------------------------------------------------
+def doc_exact_dedup(spark, sf_dir):
+    return exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
+
+
+def doc_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def doc_minhash_dedup(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def doc_simhash_dedup(spark, sf_dir):
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def emb_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+# --- similarity search ------------------------------------------------------
+def emb_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return knn_bruteforce(e, _KNN_QUERY_IDS, k=10)
+
+
+def emb_knn_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("embedding"))
+    return knn_lsh(e, _KNN_QUERY_IDS, k=10, dim=64, n_planes=6, n_tables=8)
+
+
+def multimodal_features(spark, sf_dir):
+    assets = synthetic_assets(spark, 90, seed=42)
+    return extract_features(assets, fake=True).select(
+        "asset_id", "media_type", "width", "height", "n_frames")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "q6_revenue": q6_revenue,
+        "q4_order_priority": q4_order_priority,
+        "top_customers_per_nation": top_customers_per_nation,
+        "events_hourly": events_hourly,
+        "events_user_top_type": events_user_top_type,
+        "events_json_props": events_json_props,
+        "kg_doc_mentions": kg_doc_mentions,
+        "kg_doc_triples": kg_doc_triples,
+        "kg_term_nodes": kg_term_nodes,
+        "kg_term_cooccurrence": kg_term_cooccurrence,
+        "kg_pipeline_nodes": kg_pipeline_nodes,
+        "kg_pipeline_edges": kg_pipeline_edges,
+        "doc_token_count": doc_token_count,
+        "doc_quality": doc_quality,
+        "doc_lang_id": doc_lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_minhash_dedup": doc_minhash_dedup,
+        "doc_simhash_dedup": doc_simhash_dedup,
+        "emb_near_dup": emb_near_dup,
+        "emb_cosine_topk": emb_cosine_topk,
+        "emb_knn_lsh": emb_knn_lsh,
+        "multimodal_features": multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect)
+# ---------------------------------------------------------------------------
+def _stop_hits(col: str, words: list[str]) -> str:
+    return " + ".join(
+        f"(CASE WHEN ' ' || {col} || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+        for w in words)
+
+
+_TERM_DICT_VALUES = ", ".join(
+    f"('{a}', '{c}')" for a, c in doc_kg.TERM_DICT)
+
+_DOC_MENTIONS_CTE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS alias FROM documents
+), d(alias, canonical) AS (VALUES {_TERM_DICT_VALUES}),
+mentions AS (
+  SELECT w.doc_id, w.alias, d.canonical, count(*) AS n
+  FROM words w JOIN d ON w.alias = d.alias
+  GROUP BY w.doc_id, w.alias, d.canonical
+)"""
+
+_QUALITY_HITS = _stop_hits("text", EN_STOPWORDS)
+
+_EN = _stop_hits("text", EN_STOPWORDS)
+_DE = _stop_hits("text", ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"])
+_FR = _stop_hits("text", ["le", "la", "les", "et", "est", "une", "pour", "dans"])
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 500
+), shb AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
+_COS_CTE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum(l_extendedprice) AS sum_base_price,
+  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+  avg(l_quantity) AS avg_qty,
+  avg(l_extendedprice) AS avg_price,
+  avg(l_discount) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "q5_local_supplier": """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+        "q6_revenue": """
+SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority""",
+        "top_customers_per_nation": """
+WITH tot AS (
+  SELECT o_custkey, sum(o_totalprice) AS total_spend
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT n_name, c_custkey, total_spend,
+    row_number() OVER (PARTITION BY n_name
+                       ORDER BY total_spend DESC, c_custkey ASC) AS rk
+  FROM tot JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey, round(total_spend, 4) AS total_spend, CAST(rk AS INT) AS rk
+FROM j WHERE rk <= 3""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "events_user_top_type": """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+), rk AS (
+  SELECT user_id, event_type, n,
+    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS r
+  FROM cnt
+)
+SELECT user_id, event_type AS top_type, n FROM rk WHERE r = 1""",
+        "events_json_props": """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1""",
+        "kg_doc_mentions": _DOC_MENTIONS_CTE + "\nSELECT * FROM mentions",
+        "kg_doc_triples": _DOC_MENTIONS_CTE + """
+SELECT DISTINCT 'doc_' || CAST(doc_id AS VARCHAR) AS subject,
+       'mentions_term' AS predicate, canonical AS object
+FROM mentions""",
+        "kg_term_nodes": _DOC_MENTIONS_CTE + """
+SELECT canonical, count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_mentions,
+       count(DISTINCT alias) AS n_aliases
+FROM mentions GROUP BY canonical""",
+        "kg_term_cooccurrence": _DOC_MENTIONS_CTE + """
+, dt AS (SELECT DISTINCT doc_id, canonical FROM mentions)
+SELECT a.canonical AS term_a, b.canonical AS term_b, count(*) AS n_docs
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "doc_token_count": f"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+        "doc_quality": f"""
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(({_QUALITY_HITS}) / 10.0, 6) AS stopword_ratio,
+  round(0.4 * least(1.0, length(text) / 500.0)
+      + 0.3 * (1.0 - least(1.0, 4.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1)))
+      + 0.3 * least(1.0, 5.0 * ({_QUALITY_HITS}) / 10.0), 6) AS quality_score
+FROM documents""",
+        "doc_lang_id": f"""
+SELECT doc_id,
+  CAST({_EN} AS INT) AS en_hits,
+  CAST({_DE} AS INT) AS de_hits,
+  CAST({_FR} AS INT) AS fr_hits,
+  CASE WHEN ({_EN}) >= ({_DE}) AND ({_EN}) >= ({_FR}) AND ({_EN}) >= 2 THEN 'en'
+       WHEN ({_DE}) >= ({_FR}) AND ({_DE}) >= 2 THEN 'de'
+       WHEN ({_FR}) >= 2 THEN 'fr'
+       ELSE 'unknown' END AS predicted_lang
+FROM documents""",
+        "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "doc_exact_dedup": f"""
+SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS rep_doc_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1""",
+        "doc_ngram_jaccard": _SHINGLES_CTE + """
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5""",
+        "emb_near_dup": """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.5""",
+        "emb_cosine_topk": _COS_CTE + """
+, rk AS (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM rk WHERE rank <= 10""",
+    }

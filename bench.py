@@ -1,0 +1,92 @@
+"""Bench harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", "extra"}.
+
+- every query is forced with a noop write (count() would let Spark skip
+  column work);
+- the KG pipeline runs on the deterministic synthetic corpus sized for
+  the sf (corpus rendered ON EXECUTORS via mapInPandas — the driver never
+  holds the corpus);
+- extra.kg_triples_per_sec is the north-metric throughput;
+- scaling efficiency across two parallelism levels is measured by
+  tools/bench_scaling.py (two processes) and reported in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from legal_knowledge_graph_spark.corpus import corpus_df_distributed
+    from legal_knowledge_graph_spark.plans import run_pipeline
+    from legal_knowledge_graph_spark.session import build_session
+    import __spark_entry__ as E
+
+    spark = build_session(
+        app_name="lkg-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 16),
+    )
+
+    names = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "q4_order_priority", "top_customers_per_nation", "events_hourly",
+        "events_user_top_type", "kg_doc_mentions", "kg_term_cooccurrence",
+        "doc_token_count", "doc_quality", "doc_lang_id", "doc_exact_dedup",
+        "doc_minhash_dedup", "doc_simhash_dedup", "emb_cosine_topk",
+        "emb_knn_lsh",
+    ]
+    qfns = E.queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        force(qfns[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline: the north-star workload, corpus rendered on executors
+    n_files = E._corpus_size(sf_dir)
+    files = corpus_df_distributed(
+        spark, n_files, seed=42, partitions=max(int(cpus) * 2, 16))
+    t0 = time.time()
+    res = run_pipeline(spark, files, use_lsh=True,
+                       bucket_by_repo=max(int(cpus), 16))
+    n_triples = res.edges.count()
+    force(res.nodes)
+    kg_secs = round(time.time() - t0, 3)
+    timings["kg_pipeline"] = kg_secs
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": {
+            "cpus": int(cpus),
+            "kg_files": n_files,
+            "kg_triples": int(n_triples),
+            "kg_triples_per_sec": round(n_triples / kg_secs, 2) if kg_secs else None,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

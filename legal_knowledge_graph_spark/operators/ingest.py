@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def ingest(files: DataFrame, bucket_by_repo: int | None = None) -> DataFrame:
+def ingest(
+    files: DataFrame, bucket_by_repo: int | None = None, salt: int = 16
+) -> DataFrame:
+    """Adds content_sha + doc_key; optionally repartitions on a SALTED
+    repo key: pure repartition(N, repo) would map a mega-repo (100x
+    median, FIXTURES §1) to one partition — the salt spreads each repo
+    over up to `salt` partitions while keeping partial repo locality
+    (north_rule: skew handled via salted repartitioning + AQE)."""
     out = files.withColumn(
         "content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
     ).withColumn(
@@ -28,6 +35,7 @@ def ingest(files: DataFrame, bucket_by_repo: int | None = None) -> DataFrame:
         F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256),
     )
     if bucket_by_repo:
-        # hash-distribute by repo; AQE skew handling splits the mega-repo
-        out = out.repartition(bucket_by_repo, "repo")
+        out = out.withColumn(
+            "_salt", F.pmod(F.xxhash64("path"), F.lit(salt))
+        ).repartition(bucket_by_repo, "repo", "_salt").drop("_salt")
     return out

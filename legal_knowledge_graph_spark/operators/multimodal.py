@@ -1,0 +1,112 @@
+"""Multimodal-column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side contract is real and tested — schema, partitioning, Arrow
+UDF signatures, batch shapes; the actual codec work is STUBBED (the
+image/audio libraries are not in this container): `decode_image` raises
+NotImplementedError unless `fake=True`, in which case a deterministic
+bytes-hash-derived feature vector stands in so downstream plumbing
+(resize, feature-extract, frame-sample, dedup-by-feature) is exercised
+end-to-end.
+
+Production swap-in: replace `_fake_decode` with PIL/libav inside the same
+mapInPandas body; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+ASSET_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), False),   # image|audio|video
+    T.StructField("data", T.BinaryType(), True),          # opaque payload
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), False),
+])
+
+FEATURE_DIM = 16
+
+
+def _fake_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Deterministic stand-in decode: dimensions and a FEATURE_DIM feature
+    vector derived from the payload hash. STUB — see module docstring."""
+    h = hashlib.sha256(data or b"").digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    n_frames = 1 + h[2] % 8
+    feat = np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint8)[:FEATURE_DIM]
+    return width, height, n_frames, (feat.astype(np.float32) / 255.0)
+
+
+def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """decode + feature-extract over Arrow batches (mapInPandas). The
+    real-codec path is intentionally unimplemented in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "real image/audio decode requires PIL/libav — not available "
+            "in this environment; pass fake=True for the deterministic stub")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, nf, feat = _fake_decode(r.data)
+                rows.append((r.asset_id, r.media_type, w, h,
+                             nf if r.media_type == "video" else 1,
+                             feat.tolist()))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 2, fake: bool = True) -> DataFrame:
+    """UDTF-shaped frame sampling: one output row per sampled frame of a
+    video asset (schema + batch-shape plumbing; decode stubbed)."""
+    if not fake:
+        raise NotImplementedError("real frame decode not available here")
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ])
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.media_type != "video":
+                    continue
+                _, _, nf, feat = _fake_decode(r.data)
+                for f_no in range(0, nf, every_n):
+                    # per-frame feature = hash-mix of (payload, frame_no)
+                    mix = hashlib.sha256((r.data or b"") + bytes([f_no])).digest()
+                    fv = (np.frombuffer(mix[:FEATURE_DIM * 2], dtype=np.uint8)
+                          [:FEATURE_DIM].astype(np.float32) / 255.0)
+                    rows.append((r.asset_id, f_no, fv.tolist()))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return assets.mapInPandas(run, schema=out_schema)
+
+
+def synthetic_assets(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake asset table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:asset:{i}".encode()).digest() * 4
+        mt = ("image", "audio", "video")[i % 3]
+        rows.append((f"asset_{i:05d}", mt, bytearray(payload),
+                     {"source": f"synthetic:{seed}"}))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+- brute-force cosine top-k: the exactness baseline — JVM-side
+  zip_with/aggregate dot products, window top-k; queries are broadcast so
+  the corpus never shuffles.
+- random-hyperplane LSH ANN: the scale path — deterministic seeded
+  hyperplanes hash vectors into buckets; search compares only
+  bucket-colliding candidates (multi-probe via B independent tables).
+
+At 100 TB the brute-force path is a broadcast-join scan (linear, no
+shuffle); the LSH path trades recall for a bucket-join. An IVF variant
+would replace the hash with learned centroids — the plumbing (bucket
+column + co-partitioned join) is identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns — pure
+    Catalyst (zip_with + aggregate), no Python."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id (excluding self).
+    Queries are a broadcast side; corpus scanned once."""
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic hyperplanes from a seeded hash (no RNG state)."""
+    seed = int.from_bytes(hashlib.md5(f"lsh:{table}".encode()).digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 12, table: int = 0):
+    planes = _hyperplanes(dim, n_planes, table)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        bits = (mat @ planes.T) > 0
+        out = np.zeros(len(mat), dtype=np.int32)
+        for i in range(n_planes):
+            out |= bits[:, i].astype(np.int32) << i
+        return pd.Series(out)
+
+    return bucket
+
+
+def knn_lsh(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10, dim: int = 64,
+    n_planes: int = 10, n_tables: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets, union over B tables,
+    exact cosine re-rank among bucket-colliding candidates."""
+    cand = None
+    for t in range(n_tables):
+        udf = lsh_bucket_udf(dim, n_planes, t)
+        bucketed = embeddings.select(
+            F.col(id_col), F.col(vec_col), udf(F.col(vec_col)).alias("bucket"),
+            F.lit(t).alias("table"))
+        q = bucketed.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+            "bucket", "table")
+        c = bucketed.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+            "bucket", "table")
+        j = F.broadcast(q).join(c, ["bucket", "table"]).where(
+            F.col("query_id") != F.col("neighbor_id"))
+        cand = j if cand is None else cand.unionByName(j)
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+First-class components alongside the KG stages: language-ID (stopword
+heuristic), quality scoring (length/punct/stopword ratios), token counting
+(whitespace + BPE-ish regex), and document fingerprinting (normalized-hash
+and rolling-hash winnowing).
+
+All but winnowing are pure Catalyst column expressions (whole-stage
+codegen; no Python on the hot path) and each has an exact ANSI-SQL oracle
+(see __spark_entry__.oracle_sql). Winnowing needs per-row state -> Arrow
+pandas UDF.
+
+These operate on the driver testdata `documents(doc_id, text, lang,
+source, n_chars)` table but accept any (id, text) frame.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# small closed stopword sets; LIKE-based matching so the DuckDB oracle is
+# trivially identical
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"]
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, n_ws_tokens (whitespace), n_bpe_tokens (BPE-ish regex:
+    letter runs / digit runs / single punctuation — a proxy for BPE
+    pre-tokenization)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality score in [0,1].
+
+    score = 0.4 * min(1, n_chars/500)            (enough substance)
+          + 0.3 * (1 - min(1, 4*punct_ratio))     (not symbol soup)
+          + 0.3 * min(1, 5*stopword_hit_ratio)    (looks like language)
+    """
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    hits = None
+    for w in EN_STOPWORDS:
+        h = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    stop_ratio = hits / F.lit(float(len(EN_STOPWORDS)))
+    score = (
+        0.4 * F.least(F.lit(1.0), n_chars / F.lit(500.0))
+        + 0.3 * (1.0 - F.least(F.lit(1.0), 4.0 * punct_ratio))
+        + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language heuristic: count closed-set stopword hits
+    per candidate language, argmax with >=2 threshold else 'unknown'."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    wordsets = {
+        "en": EN_STOPWORDS,
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+        "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans"],
+    }
+    scores = {}
+    for lang, words in wordsets.items():
+        s = None
+        for w in words:
+            h = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+            s = h if s is None else s + h
+        scores[lang] = s
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"])
+               & (scores["en"] >= 2), F.lit("en"))
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= 2), F.lit("de"))
+        .when(scores["fr"] >= 2, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id", scores["en"].alias("en_hits"), scores["de"].alias("de_hits"),
+        scores["fr"].alias("fr_hits"), pred.alias("predicted_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _winnow_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram rolling
+    hashes, sliding-window minima. Deterministic; per-executor vectorized."""
+    K, W = 5, 4
+
+    def winnow(text: str) -> list[int]:
+        toks = (text or "").lower().split()
+        if len(toks) < K:
+            return []
+        hashes = [
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[i:i + K]).encode()).digest()[:8],
+                "big", signed=True)
+            for i in range(len(toks) - K + 1)
+        ]
+        picks = {min(hashes[i:i + W]) for i in range(max(1, len(hashes) - W + 1))}
+        return sorted(picks)
+
+    return texts.map(winnow)
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", _winnow_udf(F.col(text_col)).alias("winnow"))
