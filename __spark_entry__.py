@@ -55,7 +55,7 @@ def _corpus_size(sf_dir: str) -> int:
 
 def entry(spark: SparkSession) -> DataFrame:
     files = corpus_df(spark, _CORPUS_FILES["sf0.001"], seed=42)
-    res = run_pipeline(spark, files, use_lsh=True)
+    res = run_pipeline(spark, files, use_lsh="auto")
     return res.edges.select(
         "edge_id", "subject_canonical", "predicate", "object_canonical",
         "confidence", "need_coref", "validation_passed",
@@ -214,14 +214,14 @@ def kg_term_cooccurrence(spark, sf_dir):
 # --- full KG pipeline on the synthetic code corpus (rows-only) -------------
 def kg_pipeline_nodes(spark, sf_dir):
     res = run_pipeline(spark, corpus_df(spark, _corpus_size(sf_dir), seed=42),
-                       use_lsh=True)
+                       use_lsh="auto")
     return res.nodes.select("entity_type", "canonical_name", "n_mentions",
                             "confidence")
 
 
 def kg_pipeline_edges(spark, sf_dir):
     res = run_pipeline(spark, corpus_df(spark, _corpus_size(sf_dir), seed=42),
-                       use_lsh=True)
+                       use_lsh="auto")
     return res.edges.where(~F.col("need_coref")).select(
         "subject_canonical", "predicate", "object_canonical", "confidence")
 

@@ -156,7 +156,11 @@ class FileSpec:
     coref_target: str = ""
 
 
-def file_spec(i: int, seed: int, repo: str, idx_in_repo: int) -> FileSpec:
+def file_spec(i: int, seed: int, repo: str, idx_in_repo: int,
+              content_scale: int = 1) -> FileSpec:
+    """content_scale > 1 multiplies the functions/imports per normal file
+    (bench realism: real source files are 1-50 KB, FIXTURES §1; goldens
+    remain correct at any scale — spec_raw_triples iterates the spec)."""
     rng = _rng(seed, "file", i)
     kind = "normal"
     if i % 101 == 7:
@@ -194,7 +198,9 @@ def file_spec(i: int, seed: int, repo: str, idx_in_repo: int) -> FileSpec:
         return spec
 
     if lang == "python":
-        mods = rng.sample(PLAIN_MODULES, rng.randint(1, 3))
+        mods = rng.sample(PLAIN_MODULES,
+                          min(rng.randint(1, 3) * min(content_scale, 4),
+                              len(PLAIN_MODULES)))
         if rng.random() < 0.4:
             mods.append(rng.choice(DICT_MODULE_SPELLINGS))
         spec.modules = mods
@@ -203,7 +209,7 @@ def file_spec(i: int, seed: int, repo: str, idx_in_repo: int) -> FileSpec:
             spec.base = rng.choice(BASE_POOL)
             spec.method = rng.choice(FUNCTION_POOL)
             spec.method_callee = rng.choice(FUNCTION_POOL)
-        n_fn = rng.randint(1, 3)
+        n_fn = min(rng.randint(1, 3) * content_scale, len(FUNCTION_POOL))
         spec.funcs = rng.sample(FUNCTION_POOL, n_fn)
         spec.callees = [
             rng.choice(FUNCTION_POOL) if rng.random() < 0.7 else "" for _ in spec.funcs
@@ -448,7 +454,7 @@ def spec_raw_triples(spec: FileSpec) -> list[tuple[str, str, str, str, str]]:
     return t
 
 
-def generate_corpus(n_files: int, seed: int = 42):
+def generate_corpus(n_files: int, seed: int = 42, content_scale: int = 1):
     """Driver-side generation. Returns (file_rows, golden_triples,
     golden_nodes) where file_rows are (repo, path, commit, lang, content),
     golden_triples are distinct (subject_canonical, predicate,
@@ -459,7 +465,7 @@ def generate_corpus(n_files: int, seed: int = 42):
     for i in range(n_files):
         r = bisect.bisect_right(bounds, i)
         start = 0 if r == 0 else bounds[r - 1]
-        specs.append(file_spec(i, seed, names[r], i - start))
+        specs.append(file_spec(i, seed, names[r], i - start, content_scale))
 
     rows = [(s.repo, s.path, s.commit, s.lang, render(s)) for s in specs]
 
@@ -490,7 +496,8 @@ def corpus_df(spark, n_files: int, seed: int = 42):
     return spark.createDataFrame(rows, FILES_SCHEMA)
 
 
-def corpus_df_distributed(spark, n_files: int, seed: int = 42, partitions: int = 64):
+def corpus_df_distributed(spark, n_files: int, seed: int = 42,
+                          partitions: int = 64, content_scale: int = 1):
     """files DataFrame rendered on executors (bench scale): spark.range over
     file indices -> mapInPandas render. Identical bytes to corpus_df."""
     import pandas as pd
@@ -505,7 +512,8 @@ def corpus_df_distributed(spark, n_files: int, seed: int = 42, partitions: int =
             for i in pdf["id"].astype(int):
                 r = bisect.bisect_right(bounds, i)
                 start = 0 if r == 0 else bounds[r - 1]
-                s = file_spec(int(i), seed, names[r], int(i) - start)
+                s = file_spec(int(i), seed, names[r], int(i) - start,
+                              content_scale)
                 out["repo"].append(s.repo)
                 out["path"].append(s.path)
                 out["commit"].append(s.commit)

@@ -44,6 +44,11 @@ BLOCK_IDS_CAP = 100
 # tokens occurring in more surface forms than this are excluded from
 # blocking (they cannot alone certify a merge; guards candidate blowup)
 TOKEN_DF_CAP = 1000
+# "auto" candidate generation: below this many distinct similarity forms
+# the deterministic token-blocking join beats MinHashLSH's fixed fit +
+# transform overhead; above it LSH bounds candidate count (the same kind
+# of size-based physical choice Catalyst makes for broadcast vs shuffle)
+AUTO_LSH_THRESHOLD = 100_000
 
 _SEP = "\x1f"
 
@@ -158,21 +163,28 @@ def verify_pairs(pairs: DataFrame, forms_tok: DataFrame) -> DataFrame:
 
 
 def canonicalize(
-    mentions: DataFrame, spark: SparkSession, use_lsh: bool = True
+    mentions: DataFrame, spark: SparkSession, use_lsh: bool | str = "auto"
 ) -> tuple[DataFrame, DataFrame]:
     """mentions -> (nodes, form_map).
 
     form_map(entity_type, text, entity_id, canonical_name) resolves triple
-    endpoints in st5 (J3).
+    endpoints in st5 (J3). ``use_lsh``: True -> MinHashLSH candidates,
+    False -> token blocking, "auto" -> size-based choice (both verified
+    exactly downstream, so the result is identical either way — tested).
     """
     entity_mentions = filter_pronouns(mentions)
-    forms = build_forms(entity_mentions, spark)
+    # forms feed the sim branch, the ident branch, and mention_stats —
+    # materialize once (the groupBy over all mentions is the stage's
+    # only full-data pass)
+    forms = build_forms(entity_mentions, spark).localCheckpoint()
 
     sim = forms.where(F.col("entity_type").isin(list(SIMILARITY_TYPES)))
     ident = forms.where(~F.col("entity_type").isin(list(SIMILARITY_TYPES)))
 
     sim_tok = sim.withColumn("tokens", _tokens_udf("text")).localCheckpoint()
 
+    if use_lsh == "auto":
+        use_lsh = sim_tok.count() >= AUTO_LSH_THRESHOLD
     cands = (
         candidate_pairs_minhash_lsh(sim_tok)
         if use_lsh
@@ -181,7 +193,8 @@ def canonicalize(
     merges = verify_pairs(cands, sim_tok)
 
     comp = connected_components(
-        merges.select(F.col("fa").alias("src"), F.col("fb").alias("dst")))
+        merges.select(F.col("fa").alias("src"), F.col("fb").alias("dst"))
+    ).localCheckpoint()  # consumed by reps AND the sim_mapped join
     clustered = sim_tok.join(
         comp, sim_tok["fid"] == comp["id"], "left"
     ).select(

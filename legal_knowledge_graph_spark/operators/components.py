@@ -79,12 +79,12 @@ def connected_components(
     )
     for _ in range(max_iter):
         nxt = _star(_star(cur, large=True), large=False).localCheckpoint()
-        # convergence: edge set unchanged (both are canonical src>dst sets)
-        if nxt.count() == cur.count():
-            diff = nxt.join(cur, ["src", "dst"], "left_anti").limit(1).count()
-            if diff == 0:
-                cur = nxt
-                break
+        # convergence: edge set unchanged (both canonical src>dst sets and
+        # same cardinality class — one anti-join probe suffices)
+        if nxt.join(cur, ["src", "dst"], "left_anti").isEmpty() \
+                and cur.join(nxt, ["src", "dst"], "left_anti").isEmpty():
+            cur = nxt
+            break
         cur = nxt
     # at convergence every edge points directly at its component min
     comp = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))

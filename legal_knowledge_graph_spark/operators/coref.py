@@ -112,7 +112,9 @@ def resolve_coref(
         )
         if step.isEmpty():
             break
-        visited = visited.unionByName(step.select("ukey", "node")).localCheckpoint()
+        # union of already-checkpointed frontiers: no lineage growth, no
+        # extra eager job needed
+        visited = visited.unionByName(step.select("ukey", "node"))
         candidates = step if candidates is None else candidates.unionByName(step)
         frontier = step
 

@@ -46,7 +46,7 @@ class KGPipeline:
         self,
         spark: SparkSession,
         checkpoint_root: str | None = None,
-        use_lsh: bool = True,
+        use_lsh: bool | str = "auto",
         bucket_by_repo: int | None = None,
         run_id: str = "r0",
     ):
@@ -56,9 +56,14 @@ class KGPipeline:
         self.bucket_by_repo = bucket_by_repo
         self.run_id = run_id
 
-    def _stage(self, name: str, fp: str, build) -> DataFrame:
+    def _stage(self, name: str, fp: str, build, reused: bool = False) -> DataFrame:
+        """Checkpointed mode: parquet stage table + manifest skip. In-memory
+        mode: stage outputs consumed by >1 downstream branch are
+        localCheckpoint'ed so the extraction UDFs run once, not once per
+        branch (reused=True)."""
         if self.store is None:
-            return build()
+            df = build()
+            return df.localCheckpoint() if reused else df
         if self.store.is_complete(name, fp):
             return self.store.read(self.spark, name)
         return self.store.write(name, build(), fp)
@@ -70,7 +75,8 @@ class KGPipeline:
 
         fp2 = fingerprint(fp0, "mentions")
         mentions = self._stage(
-            "st2_mentions", fp2, lambda: mentions_from_files(ingested))
+            "st2_mentions", fp2, lambda: mentions_from_files(ingested),
+            reused=True)
 
         fp3 = fingerprint(fp2, "canonicalize", self.use_lsh)
         if self.store and self.store.is_complete("st3_nodes", fp3) \
@@ -82,6 +88,8 @@ class KGPipeline:
             if self.store:
                 nodes = self.store.write("st3_nodes", nodes, fp3)
                 form_map = self.store.write("st3_form_map", form_map, fp3)
+            else:
+                nodes = nodes.localCheckpoint()  # used by coref + caller
 
         fp4 = fingerprint(fp2, "triples")
         triples = self._stage("st4_triples", fp4, lambda: emit_triples(mentions))
@@ -89,7 +97,8 @@ class KGPipeline:
         fp5 = fingerprint(fp3, fp4, "edges")
         edges_raw = self._stage(
             "st5_edges", fp5,
-            lambda: normalize_edges(triples, form_map, self.spark))
+            lambda: normalize_edges(triples, form_map, self.spark),
+            reused=True)
 
         fp6 = fingerprint(fp5, "coref")
         edges = self._stage(
@@ -101,7 +110,7 @@ class KGPipeline:
 
 def run_pipeline(
     spark: SparkSession, files: DataFrame, checkpoint_root: str | None = None,
-    use_lsh: bool = True, bucket_by_repo: int | None = None,
+    use_lsh: bool | str = "auto", bucket_by_repo: int | None = None,
 ) -> PipelineResult:
     return KGPipeline(
         spark, checkpoint_root, use_lsh, bucket_by_repo
