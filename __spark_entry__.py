@@ -37,7 +37,7 @@ from legal_knowledge_graph_spark.operators.similarity import (
 )
 from legal_knowledge_graph_spark.operators.text_analysis import (
     BPE_ISH_TOKEN_RE, EN_STOPWORDS, fingerprints, language_id, quality_scores,
-    token_counts,
+    token_counts, top_keywords,
 )
 from legal_knowledge_graph_spark.plans import run_pipeline
 
@@ -250,6 +250,10 @@ def doc_fingerprint(spark, sf_dir):
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def doc_top_keywords(spark, sf_dir):
+    return top_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
 # --- dedup ------------------------------------------------------------------
 def doc_exact_dedup(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"), min_count=1)
@@ -311,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "doc_top_keywords": doc_top_keywords,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_minhash_dedup": doc_minhash_dedup,
@@ -503,6 +508,20 @@ SELECT doc_id,
        ELSE 'unknown' END AS predicted_lang
 FROM documents""",
         "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "doc_top_keywords": """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), counts AS (
+  SELECT doc_id, word, count(*) AS n FROM words
+  WHERE length(word) >= 2 GROUP BY doc_id, word
+), rk AS (
+  SELECT doc_id, word, n,
+    CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, word ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT doc_id, word, n, rank FROM rk WHERE rank <= 5""",
         "doc_exact_dedup": f"""
 SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS rep_doc_id,
        count(*) AS n_docs

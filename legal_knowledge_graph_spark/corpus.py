@@ -154,6 +154,7 @@ class FileSpec:
     req_version: str = ""
     coref_caller: str = ""
     coref_target: str = ""
+    filler: int = 0  # non-extractable body lines per function (realism)
 
 
 def file_spec(i: int, seed: int, repo: str, idx_in_repo: int,
@@ -188,6 +189,7 @@ def file_spec(i: int, seed: int, repo: str, idx_in_repo: int,
     if kind in ("empty", "oneline", "prose"):
         return spec
 
+    spec.filler = 2 * (content_scale - 1)
     spec.year = rng.choice(YEAR_POOL)
     spec.author = rng.choice(AUTHOR_SPELLINGS)
     spec.license = rng.choice(LICENSE_SPELLINGS)
@@ -298,6 +300,8 @@ def render(spec: FileSpec) -> str:
             ]
         for fn, callee in zip(spec.funcs, spec.callees):
             L.append(f"def {fn}(data):")
+            for j in range(spec.filler):
+                L.append(f"    acc_{j} = data + {j} * 3 - {j % 7}")
             if callee:
                 L.append(f"    value = {callee}(data)")
                 L.append("    return value")

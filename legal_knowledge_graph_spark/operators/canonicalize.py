@@ -226,16 +226,30 @@ def canonicalize(
     form_map = form_map.localCheckpoint()
 
     # ---- cluster -> node aggregation (A2), node identity = entity_id ----
+    # Two-phase SALTED aggregation: a mega-entity (a pool function defined
+    # in thousands of files) would otherwise send every one of its block
+    # ids to a single reduce key (north_rule skew handling; SURVEY §4.2).
+    # Phase 1 caps per-salt partials; phase 2 merges tiny arrays.
     mention_stats = (
         entity_mentions.select("entity_type", "text", "block_id")
         .join(form_map.select("entity_type", "text", "entity_id", "is_dict"),
               ["entity_type", "text"])
+        .groupBy("entity_id",
+                 F.pmod(F.xxhash64("block_id"), F.lit(32)).alias("_salt"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(F.col("is_dict"), 1).otherwise(0)).alias("_nd"),
+            F.slice(F.sort_array(F.collect_set("block_id")), 1, BLOCK_IDS_CAP)
+            .alias("_bids"),
+        )
         .groupBy("entity_id")
         .agg(
-            F.count(F.lit(1)).alias("n_mentions"),
-            F.sum(F.when(F.col("is_dict"), 1).otherwise(0)).alias("n_dict"),
-            F.slice(F.sort_array(F.collect_set("block_id")), 1, BLOCK_IDS_CAP)
-            .alias("source_block_ids"),
+            F.sum("_n").alias("n_mentions"),
+            F.sum("_nd").alias("n_dict"),
+            F.slice(
+                F.sort_array(F.array_distinct(F.flatten(F.collect_list("_bids")))),
+                1, BLOCK_IDS_CAP,
+            ).alias("source_block_ids"),
         )
     )
     node_forms = form_map.groupBy("entity_id").agg(

@@ -79,8 +79,7 @@ def connected_components(
     )
     for _ in range(max_iter):
         nxt = _star(_star(cur, large=True), large=False).localCheckpoint()
-        # convergence: edge set unchanged (both canonical src>dst sets and
-        # same cardinality class — one anti-join probe suffices)
+        # convergence: edge set unchanged (both canonical src>dst sets)
         if nxt.join(cur, ["src", "dst"], "left_anti").isEmpty() \
                 and cur.join(nxt, ["src", "dst"], "left_anti").isEmpty():
             cur = nxt

@@ -101,13 +101,16 @@ def resolve_coref(
     visited = frontier.select("ukey", "node")
     candidates = None
     for _ in range(max_hops):
+        # frontier/visited are tiny (one row per unresolved edge times a
+        # bounded neighborhood); broadcast them so the full adjacency is
+        # never shuffled — each hop is a map-side join over adj
         step = (
-            frontier.join(adj, frontier["node"] == adj["src"])
+            adj.join(F.broadcast(frontier), frontier["node"] == adj["src"])
             .select("ukey", F.col("dst").alias("nnode"),
                     (F.col("path") * F.col("decay")).alias("path"))
             .groupBy("ukey", "nnode").agg(F.max("path").alias("path"))
             .withColumnRenamed("nnode", "node")
-            .join(visited, ["ukey", "node"], "left_anti")
+            .join(F.broadcast(visited), ["ukey", "node"], "left_anti")
             .localCheckpoint()
         )
         if step.isEmpty():
@@ -119,8 +122,9 @@ def resolve_coref(
         frontier = step
 
     if candidates is None:
-        return dedup_edges(resolved.unionByName(
-            u.select(*edges.columns)).unionByName(hopeless))
+        # nothing reachable: all parts are already deduped and disjoint
+        return resolved.unionByName(
+            u.select(*edges.columns)).unionByName(hopeless)
 
     n = nodes.select(
         F.col("entity_id").alias("node"),
@@ -192,5 +196,10 @@ def resolve_coref(
             & (F.col("object_type") == F.col("sig_object")))
         .select(*edges.columns)
     )
-    return dedup_edges(
-        resolved.unionByName(rewritten).unionByName(hopeless))
+    # resolved/hopeless are already (s,p,o)-deduped from st5 and keyed
+    # disjointly; only the small rewritten subset needs dedup — the full
+    # edge set is never re-shuffled. A rewrite landing on an edge_id that
+    # already exists in `resolved` (rare: the same call both aliased and
+    # direct) is collapsed by the materialization upsert's key dedup.
+    rewritten_d = dedup_edges(rewritten).select(*edges.columns)
+    return resolved.unionByName(rewritten_d).unionByName(hopeless)

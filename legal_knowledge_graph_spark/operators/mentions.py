@@ -24,7 +24,6 @@ shuffle/stage boundary at scale.
 
 from __future__ import annotations
 
-import hashlib
 import re
 from typing import Iterable, Iterator
 
@@ -97,10 +96,10 @@ CALL_KEYWORDS = frozenset({
 _CALL_BLOCKS = {"CLASS", "FUNCTION", "TEST"}
 
 
-def _mention(etype, text, start, end, conf, is_ref=False, **attrs):
+def _mention(etype, text, start, end, conf, is_ref=False, evidence=None, **attrs):
     return {
         "entity_type": etype, "text": text, "start_pos": start, "end_pos": end,
-        "confidence": conf, "is_reference": is_ref,
+        "confidence": conf, "is_reference": is_ref, "evidence": evidence,
         "attributes": {k: v for k, v in attrs.items() if v is not None},
     }
 
@@ -237,13 +236,13 @@ _M_COLS = [f.name for f in MENTIONS_SCHEMA.fields]
 
 def _rows_for_block(r, block_type, block_id, content, rows):
     for m in detect_mentions(block_type, r.lang, content):
-        mid = hashlib.sha256(
-            f"{block_id}:{m['entity_type']}:{m['text']}:{m['start_pos']}".encode()
-        ).hexdigest()
+        # composite id: unique by construction (one mention per
+        # (block, type, start)), no per-mention hashing on the hot path
+        mid = f"{block_id}:{m['entity_type']}:{m['start_pos']}"
         rows.append((
             r.doc_key, r.repo, r.path, r.content_sha, block_id, block_type,
             mid, m["entity_type"], m["text"], m["start_pos"], m["end_pos"],
-            m["confidence"], m["is_reference"], m["attributes"],
+            m["confidence"], m["is_reference"], m["evidence"], m["attributes"],
         ))
 
 
@@ -253,10 +252,10 @@ def _structural_rows(r, rows):
     fb = f"{r.doc_key}#file"
     fname = f"{r.repo}/{r.path}"
     for etype, text in (("File", fname), ("Repo", r.repo)):
-        mid = hashlib.sha256(f"{fb}:{etype}:{text}:0".encode()).hexdigest()
+        mid = f"{fb}:{etype}:0"
         rows.append((
             r.doc_key, r.repo, r.path, r.content_sha, fb, "FILE",
-            mid, etype, text, 0, len(text), 1.0, False, {},
+            mid, etype, text, 0, len(text), 1.0, False, None, {},
         ))
 
 

@@ -99,6 +99,27 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_keywords(docs: DataFrame, k: int = 10, min_len: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """A5/W4 (reference segmenter.py:41-79): per-document top-k tokens of
+    length >= min_len by frequency, deterministic tiebreak on the word."""
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("word"))
+    counts = (
+        words.where(F.length("word") >= min_len)
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: md5 over lowercased,
     whitespace-collapsed text — the exact-dedup key."""

@@ -305,6 +305,7 @@ MENTIONS_SCHEMA = T.StructType([
     T.StructField("end_pos", T.IntegerType(), False),
     T.StructField("confidence", T.DoubleType(), False),
     T.StructField("is_reference", T.BooleanType(), False),
+    T.StructField("evidence", T.StringType(), True),
     T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), True),
 ])
 

@@ -12,7 +12,7 @@ def _mentions_df(spark, rows):
     """rows: (entity_type, text) -> minimal mentions frame."""
     full = [
         ("dk", "r", "p", "sha", f"b{i}", "FUNCTION", f"m{i}", t, x, 0, len(x),
-         0.9, False, {})
+         0.9, False, None, {})
         for i, (t, x) in enumerate(rows)
     ]
     return spark.createDataFrame(full, MENTIONS_SCHEMA)
