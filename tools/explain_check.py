@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the plans we want, not just plans that pass.
+
+Checks (via .explain formatted output) that:
+- parquet scans push filters down (PushedFilters) and prune columns
+  (ReadSchema excludes unused columns);
+- small dimensions join via BroadcastHashJoin;
+- relational stages run inside WholeStageCodegen;
+- the KG triple-emission stage contains NO python UDF (pure Catalyst).
+
+Run: python tools/explain_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from legal_knowledge_graph_spark.session import build_session
+    import __spark_entry__ as E
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    failures = []
+
+    def check(name, plan, must_contain=(), must_not=()):
+        for frag in must_contain:
+            if frag not in plan:
+                failures.append(f"{name}: missing {frag!r}")
+        for frag in must_not:
+            if frag in plan:
+                failures.append(f"{name}: unexpected {frag!r}")
+        print(f"[{name}] "
+              + " ".join(f"{frag}={'Y' if frag in plan else 'N'}"
+                         for frag in must_contain + must_not))
+
+    # q6: filter pushdown + column pruning on the lineitem scan
+    # ("Batched: true" = vectorized columnar scan; AQE hides the
+    # WholeStageCodegen label in pre-execution formatted plans)
+    p = plan_of(E.q6_revenue(spark, sf_dir))
+    check("q6 pushdown", p, must_contain=(
+        "PushedFilters: [IsNotNull(l_shipdate)", "Batched: true"))
+    if "l_returnflag" in p.split("ReadSchema")[-1][:400]:
+        failures.append("q6: ReadSchema not pruned (reads l_returnflag)")
+
+    # q3: broadcast of the filtered customer dim
+    p = plan_of(E.q3_shipping_priority(spark, sf_dir))
+    check("q3 broadcast", p, must_contain=("BroadcastHashJoin",))
+
+    # q5: six-way join uses broadcasts for nation/region
+    p = plan_of(E.q5_local_supplier(spark, sf_dir))
+    check("q5 broadcast", p, must_contain=("BroadcastHashJoin",))
+
+    # doc-KG dictionary join is broadcast (J1)
+    p = plan_of(E.kg_doc_mentions(spark, sf_dir))
+    check("kg_doc_mentions broadcast", p, must_contain=("BroadcastHashJoin",))
+
+    # triple emission: pure Catalyst — no python evaluation nodes
+    from legal_knowledge_graph_spark.corpus import corpus_df
+    from legal_knowledge_graph_spark.operators.ingest import ingest
+    from legal_knowledge_graph_spark.operators.mentions import mentions_from_files
+    from legal_knowledge_graph_spark.operators.triples import emit_triples
+
+    mentions = mentions_from_files(ingest(corpus_df(spark, 20, 42)))
+    p = plan_of(emit_triples(mentions))
+    check("emit_triples JVM-only", p,
+          must_contain=("Generate",),  # the explode
+          must_not=("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"))
+
+    # similarity cosine: JVM higher-order functions, no UDF
+    p = plan_of(E.emb_cosine_topk(spark, sf_dir))
+    check("emb_cosine_topk JVM-only", p,
+          must_not=("BatchEvalPython", "ArrowEvalPython"))
+
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
