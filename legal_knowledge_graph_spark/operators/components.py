@@ -18,7 +18,7 @@ Invariants:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def _star(edges: DataFrame, large: bool) -> DataFrame:
@@ -77,14 +77,25 @@ def connected_components(
         .dropDuplicates(["src", "dst"])
         .localCheckpoint()
     )
+    # convergence check fused into the per-round materialization (VERDICT r1
+    # #7): both sides are deduped canonical sets, so set equality <=>
+    # (count, sum(xxhash64)) equality; the metrics ride the localCheckpoint
+    # job via observe() — zero extra jobs vs the former two left_anti scans.
+    first = cur.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h")).first()
+    prev_sig: tuple | None = (first["n"], first["h"])
     for _ in range(max_iter):
-        nxt = _star(_star(cur, large=True), large=False).localCheckpoint()
-        # convergence: edge set unchanged (both canonical src>dst sets)
-        if nxt.join(cur, ["src", "dst"], "left_anti").isEmpty() \
-                and cur.join(nxt, ["src", "dst"], "left_anti").isEmpty():
-            cur = nxt
-            break
+        obs = Observation()
+        nxt = _star(_star(cur, large=True), large=False).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).localCheckpoint()
+        sig = (obs.get["n"], obs.get["h"])
         cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     # at convergence every edge points directly at its component min
     comp = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     comp = comp.groupBy("id").agg(F.min("component").alias("component"))

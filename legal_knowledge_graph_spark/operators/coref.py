@@ -38,6 +38,10 @@ from .edge_norm import dedup_edges
 MAX_HOPS = 3
 MEMBERSHIP_PREDICATES = ("file_defines_function", "file_defines_class")
 _SEP = "\x1f"
+# Frontier rows above this are too big to broadcast safely (same pattern as
+# canonicalize.AUTO_LSH_THRESHOLD): fall back to shuffle joins. Frontier size
+# ~ unresolved edges x bounded neighborhood; 2M rows x ~100B ≈ 200 MB.
+BROADCAST_FRONTIER_MAX = 2_000_000
 
 
 def _adjacency(resolved: DataFrame) -> DataFrame:
@@ -98,19 +102,28 @@ def resolve_coref(
         F.col("start").alias("node"),
         F.lit(1.0).alias("path"),
     )
+    # size-conditional broadcast (VERDICT r1): frontier grows as
+    # unresolved-edges x neighborhood; on a high-need_coref corpus that can
+    # exceed executor memory, so above the threshold each hop falls back to
+    # a shuffle join (u is already localCheckpoint'ed — the count is cheap).
+    small = frontier.count() <= BROADCAST_FRONTIER_MAX
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     visited = frontier.select("ukey", "node")
     candidates = None
     for _ in range(max_hops):
-        # frontier/visited are tiny (one row per unresolved edge times a
-        # bounded neighborhood); broadcast them so the full adjacency is
-        # never shuffled — each hop is a map-side join over adj
+        # frontier/visited are usually tiny (one row per unresolved edge
+        # times a bounded neighborhood); broadcast them so the full
+        # adjacency is never shuffled — each hop a map-side join over adj
         step = (
-            adj.join(F.broadcast(frontier), frontier["node"] == adj["src"])
+            adj.join(_side(frontier), frontier["node"] == adj["src"])
             .select("ukey", F.col("dst").alias("nnode"),
                     (F.col("path") * F.col("decay")).alias("path"))
             .groupBy("ukey", "nnode").agg(F.max("path").alias("path"))
             .withColumnRenamed("nnode", "node")
-            .join(F.broadcast(visited), ["ukey", "node"], "left_anti")
+            .join(_side(visited), ["ukey", "node"], "left_anti")
             .localCheckpoint()
         )
         if step.isEmpty():
@@ -198,8 +211,13 @@ def resolve_coref(
     )
     # resolved/hopeless are already (s,p,o)-deduped from st5 and keyed
     # disjointly; only the small rewritten subset needs dedup — the full
-    # edge set is never re-shuffled. A rewrite landing on an edge_id that
-    # already exists in `resolved` (rare: the same call both aliased and
-    # direct) is collapsed by the materialization upsert's key dedup.
-    rewritten_d = dedup_edges(rewritten).select(*edges.columns)
+    # edge set is never re-shuffled. A rewrite can land on an edge_id that
+    # already exists in `resolved` (the same call both aliased and direct),
+    # so the rewritten subset is anti-joined against resolved keys to keep
+    # the EDGES_SCHEMA edge_id-unique contract (ADVICE r1); resolved is the
+    # big side and stays un-shuffled (left_anti on the small rewritten set).
+    rewritten_d = (
+        dedup_edges(rewritten).select(*edges.columns)
+        .join(resolved.select("edge_id"), "edge_id", "left_anti")
+    )
     return resolved.unionByName(rewritten_d).unionByName(hopeless)

@@ -72,8 +72,13 @@ def normalize_predicates(triples: DataFrame, spark: SparkSession) -> DataFrame:
         .withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy("doc_key", "subject", "predicate", "object")
-                .orderBy(F.length("_fa").asc_nulls_last(), F.col("_fa").asc_nulls_last())
+                # endpoint types are part of triple identity: two triples
+                # sharing (doc, s, p, o) but differing in endpoint types must
+                # each keep their own fuzzy match (ADVICE r1)
+                Window.partitionBy(
+                    "doc_key", "block_id", "subject", "subject_type",
+                    "predicate", "object", "object_type",
+                ).orderBy(F.length("_fa").asc_nulls_last(), F.col("_fa").asc_nulls_last())
             ),
         )
         .where(F.col("_rn") == 1)

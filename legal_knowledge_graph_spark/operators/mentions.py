@@ -273,7 +273,12 @@ def mentions_from_files(ingested: DataFrame) -> DataFrame:
                                     b["content"], rows)
             yield pd.DataFrame(rows, columns=_M_COLS)
 
-    return ingested.mapInPandas(run, schema=MENTIONS_SCHEMA)
+    from .type_norm import normalize_entity_types
+
+    # F7: entity-type alias projection + closed-enum filter
+    # (entities.py:128-143, ner_agent.py:350-356) — identity on this
+    # extractor's canonical output, active for external mention sources
+    return normalize_entity_types(ingested.mapInPandas(run, schema=MENTIONS_SCHEMA))
 
 
 def mentions_from_blocks(blocks: DataFrame, ingested: DataFrame) -> DataFrame:
@@ -294,8 +299,12 @@ def mentions_from_blocks(blocks: DataFrame, ingested: DataFrame) -> DataFrame:
                 _structural_rows(r, rows)
             yield pd.DataFrame(rows, columns=_M_COLS)
 
-    return blocks.mapInPandas(run_blocks, schema=MENTIONS_SCHEMA).unionByName(
-        ingested.mapInPandas(run_docs, schema=MENTIONS_SCHEMA)
+    from .type_norm import normalize_entity_types
+
+    return normalize_entity_types(
+        blocks.mapInPandas(run_blocks, schema=MENTIONS_SCHEMA).unionByName(
+            ingested.mapInPandas(run_docs, schema=MENTIONS_SCHEMA)
+        )
     )
 
 

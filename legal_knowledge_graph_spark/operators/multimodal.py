@@ -51,19 +51,53 @@ def _fake_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, n_frames, (feat.astype(np.float32) / 255.0)
 
 
+def _real_image_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Optional real path (VERDICT r1 #9): PIL decode + 16-bin grayscale
+    histogram feature. Import is deferred so the stub path never needs PIL."""
+    import io
+
+    from PIL import Image  # noqa: import-error — optional dependency
+
+    img = Image.open(io.BytesIO(data)).convert("L")
+    hist = np.asarray(img.resize((32, 32))).ravel()
+    feat, _ = np.histogram(hist, bins=FEATURE_DIM, range=(0, 256))
+    feat = feat.astype(np.float32) / max(feat.sum(), 1)
+    return img.width, img.height, 1, feat
+
+
+def have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
-    """decode + feature-extract over Arrow batches (mapInPandas). The
-    real-codec path is intentionally unimplemented in this container."""
-    if not fake:
+    """decode + feature-extract over Arrow batches (mapInPandas).
+
+    fake=True (default here): deterministic bytes-hash stand-in.
+    fake=False: real PIL decode for images (same FEATURE_SCHEMA) when PIL
+    is importable on the executors; raises NotImplementedError otherwise,
+    and always for audio/video (libav is not available in this container).
+    """
+    if not fake and not have_pil():
         raise NotImplementedError(
-            "real image/audio decode requires PIL/libav — not available "
-            "in this environment; pass fake=True for the deterministic stub")
+            "real image decode requires PIL — not available in this "
+            "environment; pass fake=True for the deterministic stub")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                w, h, nf, feat = _fake_decode(r.data)
+                if fake:
+                    w, h, nf, feat = _fake_decode(r.data)
+                elif r.media_type == "image":
+                    w, h, nf, feat = _real_image_decode(r.data)
+                else:
+                    raise NotImplementedError(
+                        f"real {r.media_type} decode requires libav")
                 rows.append((r.asset_id, r.media_type, w, h,
                              nf if r.media_type == "video" else 1,
                              feat.tolist()))
@@ -102,10 +136,13 @@ def sample_frames(assets: DataFrame, every_n: int = 2, fake: bool = True) -> Dat
 
 
 def synthetic_assets(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table for tests (payload = seeded bytes)."""
+    """Deterministic fake asset table for tests. Payload is the ASCII
+    hexdigest repeated 4x (not raw digest bytes) so the DuckDB correctness
+    oracle can recompute the fake-decode features with sha256(VARCHAR)."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}:asset:{i}".encode()).digest() * 4
+        payload = (hashlib.sha256(f"{seed}:asset:{i}".encode()).hexdigest() * 4
+                   ).encode()
         mt = ("image", "audio", "video")[i % 3]
         rows.append((f"asset_{i:05d}", mt, bytearray(payload),
                      {"source": f"synthetic:{seed}"}))

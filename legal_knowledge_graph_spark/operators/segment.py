@@ -131,4 +131,8 @@ def segment(ingested: DataFrame) -> DataFrame:
                     ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return ingested.mapInPandas(run, schema=BLOCKS_SCHEMA)
+    from .type_norm import normalize_block_types
+
+    # F4: alias projection + OTHER fallback (rules.py:143-167) — identity on
+    # this extractor's canonical output, active for external block sources
+    return normalize_block_types(ingested.mapInPandas(run, schema=BLOCKS_SCHEMA))

@@ -81,28 +81,46 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, table: int = 0):
     return bucket
 
 
+def lsh_buckets_multi_udf(dim: int, n_planes: int, n_tables: int):
+    """All B tables' bucket ids in ONE Arrow pass: returns array<int> of
+    length n_tables per vector. Callers posexplode to (table, bucket) —
+    one corpus scan + one equi-join replaces B separate scans/joins."""
+    flat = np.concatenate(
+        [_hyperplanes(dim, n_planes, t) for t in range(n_tables)], axis=0)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        bits = (mat @ flat.T) > 0                      # n x (T*P)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        out = np.zeros((len(mat), n_tables), dtype=np.int32)
+        for i in range(n_planes):
+            out |= bits[:, :, i].astype(np.int32) << i
+        return pd.Series([row.tolist() for row in out])
+
+    return buckets
+
+
 def knn_lsh(
     embeddings: DataFrame, query_ids: list[int], k: int = 10, dim: int = 64,
     n_planes: int = 10, n_tables: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane buckets, union over B tables,
-    exact cosine re-rank among bucket-colliding candidates."""
-    cand = None
-    for t in range(n_tables):
-        udf = lsh_bucket_udf(dim, n_planes, t)
-        bucketed = embeddings.select(
-            F.col(id_col), F.col(vec_col), udf(F.col(vec_col)).alias("bucket"),
-            F.lit(t).alias("table"))
-        q = bucketed.where(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-            "bucket", "table")
-        c = bucketed.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-            "bucket", "table")
-        j = F.broadcast(q).join(c, ["bucket", "table"]).where(
-            F.col("query_id") != F.col("neighbor_id"))
-        cand = j if cand is None else cand.unionByName(j)
+    """Approximate top-k: random-hyperplane buckets over B tables computed
+    in ONE Arrow pass (posexplode to (table, bucket)), broadcast the
+    queries, exact cosine re-rank among bucket-colliding candidates."""
+    udf = lsh_buckets_multi_udf(dim, n_planes, n_tables)
+    bucketed = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"))
+    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        "bucket", "table")
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        "bucket", "table")
+    cand = F.broadcast(q).join(c, ["bucket", "table"]).where(
+        F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id", "neighbor_id",
         F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),

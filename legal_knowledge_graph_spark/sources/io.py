@@ -56,8 +56,14 @@ class StageStore:
 
     def write(self, stage: str, df: DataFrame, fp: str,
               partition_by: list[str] | None = None) -> DataFrame:
+        from pyspark.sql import Observation, functions as F
+
         path = os.path.join(self.root, stage)
-        w = df.write.mode("overwrite")
+        # manifest row count rides the write job itself via observe() — the
+        # former out.count() re-scanned every stage table once more, doubling
+        # stage-write I/O at scale (VERDICT r1)
+        obs = Observation()
+        w = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
@@ -66,7 +72,7 @@ class StageStore:
         m = self._manifest()
         m[stage] = {
             "fingerprint": fp,
-            "rows": out.count(),
+            "rows": obs.get["rows"],
             "partitions": out.rdd.getNumPartitions(),
         }
         self._save_manifest(m)
@@ -159,6 +165,45 @@ def materialize_graph(spark: SparkSession, root: str, nodes: DataFrame,
               "object_entity_id", "left_semi")
     )
     stored_edges = upsert_parquet(spark, edges_path, valid_edges, ["edge_id"])
+    return stored_nodes, stored_edges
+
+
+def replace_parquet(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """Write `df` as a NEW snapshot version and swap the `_current` pointer
+    (Iceberg `REPLACE TABLE ... AS SELECT` analog). Unlike upsert_parquet
+    this does not merge: the new snapshot is exactly `df`, so rows absent
+    from it are gone — the right semantics for a recomputed view."""
+    cur = _current_version(path)
+    nxt = 0 if cur is None else cur + 1
+    out_dir = _version_dir(path, nxt)
+    df.write.mode("overwrite").parquet(out_dir)
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_current.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, os.path.join(path, "_current"))
+    return spark.read.parquet(out_dir)
+
+
+def snapshot_graph(spark: SparkSession, root: str, nodes: DataFrame,
+                   edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Streaming-refresh materialization: the graph is a deterministic
+    function of the accumulated mention ledger, so each refresh REPLACES
+    the node/edge snapshots (merge would strand rows whose canonical
+    representative changed as later batches arrived). Same dangling-edge
+    guard as materialize_graph (J6)."""
+    stored_nodes = replace_parquet(
+        spark, os.path.join(root, "graph_nodes"), nodes)
+    ids = stored_nodes.select("entity_id")
+    valid_edges = (
+        edges.where(~F.col("need_coref"))
+        .join(ids.withColumnRenamed("entity_id", "subject_entity_id"),
+              "subject_entity_id", "left_semi")
+        .join(ids.withColumnRenamed("entity_id", "object_entity_id"),
+              "object_entity_id", "left_semi")
+    )
+    stored_edges = replace_parquet(
+        spark, os.path.join(root, "graph_edges"), valid_edges)
     return stored_nodes, stored_edges
 
 

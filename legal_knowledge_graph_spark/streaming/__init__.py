@@ -11,4 +11,6 @@ foreachBatch against the accumulated stage tables — equivalently, a
 scheduled batch re-run from the checkpointed mention table.
 """
 
-from .incremental import incremental_mentions, run_incremental  # noqa: F401
+from .incremental import (  # noqa: F401
+    incremental_mentions, run_full_incremental, run_incremental,
+)

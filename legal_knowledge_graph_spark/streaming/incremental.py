@@ -1,4 +1,21 @@
-"""Structured-Streaming incremental extraction (stateless stage prefix)."""
+"""Structured-Streaming incremental extraction.
+
+Two levels (SURVEY §2.8):
+- `run_incremental`: the stateless stage prefix (st0 -> fused st1+st2)
+  lifted to readStream/writeStream unchanged — append-only mentions table.
+- `run_full_incremental`: the FULL pipeline driven per micro-batch via
+  foreachBatch (VERDICT r1 #8). Each trigger (1) upserts the batch's
+  mentions into a mention LEDGER keyed by content-derived mention_id —
+  idempotent under batch replay, so the streaming checkpoint gives
+  exactly-once ledger contents even across a mid-stream crash — then
+  (2) recomputes the stateful suffix (st3 canonicalize -> st4 triples ->
+  st5 edge-norm -> st6 coref) over the ACCUMULATED ledger and (3) REPLACES
+  the versioned graph snapshot (sources.io.snapshot_graph). The graph is a
+  deterministic function of the ledger, so after draining, the store equals
+  the single-shot batch run no matter where the stream was killed/resumed —
+  recompute-flavored incremental view maintenance: correct under
+  cross-batch canonical-representative changes that a merge-only upsert
+  would strand."""
 
 from __future__ import annotations
 
@@ -38,4 +55,47 @@ def run_incremental(
     )
     if await_termination:
         q.awaitTermination()
+    return q
+
+
+def run_full_incremental(
+    spark: SparkSession, input_dir: str, ledger_dir: str, graph_root: str,
+    checkpoint_dir: str, max_files_per_trigger: int = 64,
+    use_lsh: bool | str = "auto", on_batch=None,
+):
+    """Drain available input through the FULL pipeline, one micro-batch at
+    a time (see module docstring). `on_batch(batch_id)` is a test hook
+    invoked after the ledger upsert and before the graph refresh — raising
+    there simulates a mid-batch crash (the ledger upsert is idempotent, so
+    the replayed batch converges). Blocks until drained."""
+    from ..operators.canonicalize import canonicalize
+    from ..operators.coref import resolve_coref
+    from ..operators.edge_norm import normalize_edges
+    from ..operators.triples import emit_triples
+    from ..sources.io import snapshot_graph, upsert_parquet
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        delta = mentions_from_files(ingest(batch_df))
+        ledger = upsert_parquet(spark, ledger_dir, delta, ["mention_id"])
+        if on_batch is not None:
+            on_batch(batch_id)
+        nodes, form_map = canonicalize(ledger, spark, use_lsh)
+        nodes = nodes.localCheckpoint()
+        triples = emit_triples(ledger)
+        edges = resolve_coref(
+            normalize_edges(triples, form_map, spark), nodes, spark)
+        snapshot_graph(spark, graph_root, nodes, edges)
+
+    stream = (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return q

@@ -29,3 +29,30 @@ def test_coref_resolves_short_alias_calls(spark):
         (res.edges.predicate == "function_calls_function")
         & ~res.edges.need_coref & ~res.edges.validation_passed).count()
     assert bad == 0
+
+
+def test_coref_shuffle_join_path_matches_broadcast(spark, monkeypatch):
+    """VERDICT r1 #5: above the frontier threshold the BFS falls back to
+    shuffle joins; both paths must produce identical edges. Forced by
+    setting the threshold to 0 (every frontier 'too big')."""
+    from legal_knowledge_graph_spark.operators import coref as coref_mod
+
+    n = 80
+    files = corpus_df(spark, n, seed=42)
+    res_b = run_pipeline(spark, files, use_lsh=False)
+    eb = sorted(r.edge_id for r in res_b.edges.collect())
+
+    monkeypatch.setattr(coref_mod, "BROADCAST_FRONTIER_MAX", 0)
+    res_s = run_pipeline(spark, files, use_lsh=False)
+    es = sorted(r.edge_id for r in res_s.edges.collect())
+    assert eb == es
+
+
+def test_final_edges_are_edge_id_unique(spark):
+    """ADVICE r1: a coref rewrite landing on an edge_id already present in
+    the resolved set must not duplicate it in the API output."""
+    n = 80
+    res = run_pipeline(spark, corpus_df(spark, n, seed=42), use_lsh=False)
+    total = res.edges.count()
+    distinct = res.edges.select("edge_id").distinct().count()
+    assert total == distinct

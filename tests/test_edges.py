@@ -87,3 +87,17 @@ def test_spo_dedup(spark):
     edges = normalize_edges(t, fm, spark).collect()
     assert len(edges) == 1
     assert edges[0].confidence == 1.0  # max witness
+
+
+def test_fuzzy_fallback_keeps_type_differing_triples(spark):
+    """ADVICE r1 (medium): two triples sharing (doc, s, p, o) text but
+    differing in endpoint types must BOTH survive the fuzzy-predicate
+    window (types are part of triple identity)."""
+    t = _triples_df(spark, [
+        ("a", "File", "really_imports", "x", "Module", 0.9),
+        ("a", "File", "really_imports", "x", "Function", 0.9),
+    ])
+    out = normalize_predicates(t, spark).collect()
+    assert len(out) == 2
+    assert {r.object_type for r in out} == {"Module", "Function"}
+    assert all(r.predicate == "file_imports_module" for r in out)

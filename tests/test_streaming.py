@@ -2,6 +2,9 @@
 
 import os
 
+import pytest
+from pyspark.sql import functions as F
+
 from legal_knowledge_graph_spark.corpus import corpus_df
 from legal_knowledge_graph_spark.operators.ingest import ingest
 from legal_knowledge_graph_spark.operators.mentions import mentions_from_files
@@ -25,3 +28,56 @@ def test_incremental_equals_batch(spark, tmp_path):
     # draining again with the same checkpoint is a no-op (exactly-once)
     run_incremental(spark, landing, out, ckpt)
     assert sorted(r.mention_id for r in spark.read.parquet(out).collect()) == s
+
+
+def test_full_pipeline_streaming_kill_resume_equals_single_run(spark, tmp_path):
+    """VERDICT r1 #8: availableNow micro-batches drive the full suffix into
+    the versioned graph store; a crash after the first trigger (mid-batch,
+    post-ledger-upsert) followed by a restart converges to exactly the
+    single-shot batch state."""
+    from legal_knowledge_graph_spark.plans import run_pipeline
+    from legal_knowledge_graph_spark.sources.io import read_graph_table
+    from legal_knowledge_graph_spark.streaming import run_full_incremental
+
+    n = 45
+    files = corpus_df(spark, n, seed=42)
+    landing = str(tmp_path / "landing")
+    # three separate parquet files -> three micro-batches at 1 file/trigger
+    for i in range(3):
+        files.where((F.crc32(F.concat("repo", "path")) % 3) == i) \
+            .coalesce(1).write.mode("append").parquet(landing)
+    assert spark.read.parquet(landing).count() == n
+
+    ledger = str(tmp_path / "ledger")
+    graph = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+
+    # crash inside the SECOND batch, after its ledger upsert
+    class Boom(Exception):
+        pass
+
+    seen = []
+
+    def crash_on_second(batch_id):
+        seen.append(batch_id)
+        if len(seen) == 2:
+            raise Boom("simulated mid-batch crash")
+
+    with pytest.raises(Exception):
+        run_full_incremental(spark, landing, ledger, graph, ckpt,
+                             max_files_per_trigger=1, use_lsh=False,
+                             on_batch=crash_on_second)
+    # resume: replays the failed batch (idempotent ledger), drains the rest
+    run_full_incremental(spark, landing, ledger, graph, ckpt,
+                         max_files_per_trigger=1, use_lsh=False)
+
+    res = run_pipeline(spark, files, use_lsh=False)
+    want_nodes = sorted(r.entity_id for r in res.nodes.collect())
+    want_edges = sorted(
+        r.edge_id for r in res.edges.where(~F.col("need_coref")).collect())
+    got_nodes = sorted(
+        r.entity_id for r in read_graph_table(spark, f"{graph}/graph_nodes").collect())
+    got_edges = sorted(
+        r.edge_id for r in read_graph_table(spark, f"{graph}/graph_edges").collect())
+    assert got_nodes == want_nodes
+    assert got_edges == want_edges

@@ -129,3 +129,75 @@ def test_multimodal_plumbing(spark):
     assert all(f.frame_no % 2 == 0 for f in frames)
     with pytest.raises(NotImplementedError):
         extract_features(assets, fake=False)
+
+
+def test_minhash_equals_exact_at_test_scale(spark, docs):
+    """MinHash candidates + exact verify == the exact inverted-index path
+    on the fixture (full recall + identical values -> shared SQL oracle)."""
+    mh = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5).collect()))
+    ng = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=0.5).collect()))
+    assert mh == ng and mh
+
+
+def test_emb_near_dup_lsh_blocked_plan_and_equality(spark):
+    """VERDICT r1 #1: the near-dup plan must be LSH-bucket blocked — no
+    BroadcastNestedLoopJoin / CartesianProduct — and its output must equal
+    the all-pairs exact path on a planted fixture."""
+    import io
+    from contextlib import redirect_stdout
+
+    from legal_knowledge_graph_spark.operators.dedup import (
+        embedding_near_dup_exact,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((120, 16))
+    base[11] = base[10] + 0.01 * rng.standard_normal(16)   # planted near-dup
+    base[57] = base[56] + 0.02 * rng.standard_normal(16)
+    emb = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(120)],
+        "vec_id long, embedding array<double>")
+
+    lsh_df = embedding_near_dup_pairs(emb, threshold=0.95)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lsh_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    got = sorted(map(tuple, lsh_df.collect()))
+    want = sorted(map(tuple, embedding_near_dup_exact(emb, threshold=0.95).collect()))
+    assert got == want
+    assert {(a, b) for a, b, _ in got} >= {(10, 11), (56, 57)}
+
+
+def test_simhash_identical_doc_skew_collapses(spark):
+    """VERDICT r1 #3 (skew): many near-identical docs share ONE simhash —
+    candidate generation must run over distinct signatures (the band join
+    sees 1 row, not n), while doc-level output still contains every genuine
+    hamming-0 pair."""
+    n_dup = 80
+    rows = [(i, "hello world again") for i in range(n_dup)]
+    rows += [(1000, "completely different content about query engines"),
+             (1001, "completely different content about query planners")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    dup_pairs = {(a, b) for (a, b) in out if a < n_dup and b < n_dup}
+    assert len(dup_pairs) == n_dup * (n_dup - 1) // 2
+    assert all(out[p] == 0 for p in dup_pairs)
+    # the two "different" docs pair with each other iff hamming <= 3,
+    # never with the dup group
+    assert not any((a < n_dup) != (b < n_dup) for a, b in out)
+
+
+def test_simhash_hot_band_subsplit_is_exact(spark, docs):
+    """band_cap=0 forces EVERY bucket through the 12-bit sub-band
+    refinement; the output must be identical to the direct band join
+    (pigeonhole exactness of the sub-split)."""
+    normal = sorted(map(tuple, simhash_near_dup_pairs(
+        docs, max_hamming=10).collect()))
+    forced = sorted(map(tuple, simhash_near_dup_pairs(
+        docs, max_hamming=10, band_cap=0).collect()))
+    assert normal == forced and normal

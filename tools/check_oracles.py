@@ -59,7 +59,12 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
-            odf = con.execute(oracles[name]).df()
+            # golden-parquet oracles are written for the driver's sf0.01
+            # gate; point them at this sf dir's goldens when testing others
+            osql = oracles[name].replace(
+                "/golden/sf0.01/",
+                f"/golden/{os.path.basename(sf_dir.rstrip('/'))}/")
+            odf = con.execute(osql).df()
             sh, sn, scols = canon(sdf)
             oh, on, ocols = canon(odf)
             ok = (sh == oh) and (sn == on) and (scols == ocols)
