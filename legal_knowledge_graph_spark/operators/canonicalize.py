@@ -181,10 +181,15 @@ def canonicalize(
     sim = forms.where(F.col("entity_type").isin(list(SIMILARITY_TYPES)))
     ident = forms.where(~F.col("entity_type").isin(list(SIMILARITY_TYPES)))
 
-    sim_tok = sim.withColumn("tokens", _tokens_udf("text")).localCheckpoint()
+    from pyspark.sql import Observation
+
+    # auto-LSH decision count rides the checkpoint job (no extra scan)
+    obs = Observation()
+    sim_tok = (sim.withColumn("tokens", _tokens_udf("text"))
+               .observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint())
 
     if use_lsh == "auto":
-        use_lsh = sim_tok.count() >= AUTO_LSH_THRESHOLD
+        use_lsh = obs.get["n"] >= AUTO_LSH_THRESHOLD
     cands = (
         candidate_pairs_minhash_lsh(sim_tok)
         if use_lsh

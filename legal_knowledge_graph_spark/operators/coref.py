@@ -93,7 +93,16 @@ def resolve_coref(
         F.when(F.col("side") == "subject", F.col("sig_subject"))
         .otherwise(F.col("sig_object")).alias("expected_type"),
     )
-    u = u.localCheckpoint()
+    from pyspark.sql import Observation
+
+    # unresolved-edge count rides the u checkpoint job via observe();
+    # size-conditional broadcast (VERDICT r1): frontier grows as
+    # unresolved-edges x neighborhood; on a high-need_coref corpus that can
+    # exceed executor memory, so above the threshold each hop falls back to
+    # a shuffle join.
+    obs_u = Observation()
+    u = u.observe(obs_u, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    small = obs_u.get["n"] <= BROADCAST_FRONTIER_MAX
 
     adj = _adjacency(resolved).localCheckpoint()
 
@@ -102,11 +111,6 @@ def resolve_coref(
         F.col("start").alias("node"),
         F.lit(1.0).alias("path"),
     )
-    # size-conditional broadcast (VERDICT r1): frontier grows as
-    # unresolved-edges x neighborhood; on a high-need_coref corpus that can
-    # exceed executor memory, so above the threshold each hop falls back to
-    # a shuffle join (u is already localCheckpoint'ed — the count is cheap).
-    small = frontier.count() <= BROADCAST_FRONTIER_MAX
 
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
@@ -116,7 +120,10 @@ def resolve_coref(
     for _ in range(max_hops):
         # frontier/visited are usually tiny (one row per unresolved edge
         # times a bounded neighborhood); broadcast them so the full
-        # adjacency is never shuffled — each hop a map-side join over adj
+        # adjacency is never shuffled — each hop a map-side join over adj.
+        # The emptiness check rides the checkpoint job via observe() — no
+        # separate isEmpty scan per hop.
+        obs = Observation()
         step = (
             adj.join(_side(frontier), frontier["node"] == adj["src"])
             .select("ukey", F.col("dst").alias("nnode"),
@@ -124,9 +131,10 @@ def resolve_coref(
             .groupBy("ukey", "nnode").agg(F.max("path").alias("path"))
             .withColumnRenamed("nnode", "node")
             .join(_side(visited), ["ukey", "node"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if step.isEmpty():
+        if obs.get["n"] == 0:
             break
         # union of already-checkpointed frontiers: no lineage growth, no
         # extra eager job needed

@@ -137,7 +137,9 @@ def minhash_lsh_pairs(
     which is what makes this query oracle-checkable against the same SQL."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = _shingles(docs, text_col)
+    # the shingle table feeds four branches (TF sets, sizes, df-cap, verify
+    # join); materialize once so the explode doesn't recompute per branch
+    sh = _shingles(docs, text_col).localCheckpoint()
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
     tf = HashingTF(inputCol="sh", outputCol="tf", numFeatures=1 << 20, binary=True)
     feats = tf.transform(sets).select("doc_id", "tf")
