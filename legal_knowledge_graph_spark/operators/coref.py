@@ -221,11 +221,12 @@ def resolve_coref(
     # disjointly; only the small rewritten subset needs dedup — the full
     # edge set is never re-shuffled. A rewrite can land on an edge_id that
     # already exists in `resolved` (the same call both aliased and direct),
-    # so the rewritten subset is anti-joined against resolved keys to keep
-    # the EDGES_SCHEMA edge_id-unique contract (ADVICE r1); resolved is the
-    # big side and stays un-shuffled (left_anti on the small rewritten set).
-    rewritten_d = (
-        dedup_edges(rewritten).select(*edges.columns)
-        .join(resolved.select("edge_id"), "edge_id", "left_anti")
-    )
+    # so those keys are removed to keep the EDGES_SCHEMA edge_id-unique
+    # contract (ADVICE r1). Shuffle-free at scale: broadcast the tiny
+    # rewritten keys INTO a semi-scan of resolved (map-side), then
+    # broadcast-anti the tiny collision set back — resolved never shuffles.
+    rewritten_d = dedup_edges(rewritten).select(*edges.columns).localCheckpoint()
+    dup_keys = resolved.select("edge_id").join(
+        F.broadcast(rewritten_d.select("edge_id")), "edge_id", "left_semi")
+    rewritten_d = rewritten_d.join(F.broadcast(dup_keys), "edge_id", "left_anti")
     return resolved.unionByName(rewritten_d).unionByName(hopeless)

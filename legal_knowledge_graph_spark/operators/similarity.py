@@ -3,14 +3,18 @@
 - brute-force cosine top-k: the exactness baseline — JVM-side
   zip_with/aggregate dot products, window top-k; queries are broadcast so
   the corpus never shuffles.
-- random-hyperplane LSH ANN: the scale path — deterministic seeded
-  hyperplanes hash vectors into buckets; search compares only
-  bucket-colliding candidates (multi-probe via B independent tables).
+- random-hyperplane LSH ANN: deterministic seeded hyperplanes hash
+  vectors into buckets; search compares only bucket-colliding candidates
+  (multi-probe via B independent tables).
+- IVF ANN (`knn_ivf`): learned-centroid buckets — Spark ML KMeans
+  partitions the corpus into cells, queries probe their top-P nearest
+  cells, exact cosine re-rank among cell members. Same plumbing as LSH
+  (bucket column + equi-join); better cell balance on clustered real
+  embeddings.
 
 At 100 TB the brute-force path is a broadcast-join scan (linear, no
-shuffle); the LSH path trades recall for a bucket-join. An IVF variant
-would replace the hash with learned centroids — the plumbing (bucket
-column + co-partitioned join) is identical.
+shuffle); the LSH/IVF paths trade recall for a bucket-join whose cost is
+~ corpus/cells x probes per query.
 """
 
 from __future__ import annotations
@@ -124,6 +128,58 @@ def knn_lsh(
     scored = cand.select(
         "query_id", "neighbor_id",
         F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: KMeans cells (JVM-side fit + assignment),
+    driver-side probe list (centroids are tiny by construction), exact
+    cosine re-rank over the probed cells only.
+
+    Scale shape: the corpus is scanned once for assignment (model
+    broadcast), once for the candidate equi-join on `cluster`; per-query
+    cost ~ n_probe/n_centroids of the corpus. n_centroids grows ~sqrt(n)
+    in production; the probe list stays a broadcast either way."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"))
+    feats = emb.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("prediction").alias("cluster"))
+
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    centers_n = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    qrows = emb.where(F.col("vec_id").isin(query_ids)).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r.embedding)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(centers_n @ qv))[:n_probe]
+        probe_rows += [(r.vec_id, r.embedding, int(c)) for c in order]
+    probes = embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id long, q_vec array<double>, cluster int")
+
+    cand = F.broadcast(probes).join(assigned, "cluster").where(
+        F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("q_vec"), F.col("embedding")), 6).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())

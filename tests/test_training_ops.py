@@ -127,8 +127,11 @@ def test_multimodal_plumbing(spark):
     assert first == again  # deterministic stub
     frames = sample_frames(assets, every_n=2, fake=True).collect()
     assert all(f.frame_no % 2 == 0 for f in frames)
-    with pytest.raises(NotImplementedError):
-        extract_features(assets, fake=False)
+    from legal_knowledge_graph_spark.operators.multimodal import have_pil
+    if not have_pil():
+        # no PIL in this container -> the real path must refuse loudly
+        with pytest.raises(NotImplementedError):
+            extract_features(assets, fake=False)
 
 
 def test_minhash_equals_exact_at_test_scale(spark, docs):
@@ -201,3 +204,25 @@ def test_simhash_hot_band_subsplit_is_exact(spark, docs):
     forced = sorted(map(tuple, simhash_near_dup_pairs(
         docs, max_hamming=10, band_cap=0).collect()))
     assert normal == forced and normal
+
+
+def test_knn_ivf_recall_on_clustered_data(spark):
+    """IVF probes the right cells on clustered embeddings: top-k recall vs
+    brute force is high when neighbors live in the query's cell."""
+    from legal_knowledge_graph_spark.operators.similarity import knn_ivf
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((8, 16)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 8
+        rows.append((i, (centers[c] + 0.3 * rng.standard_normal(16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {}
+    for r in knn_bruteforce(emb, [0, 1, 2], k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in knn_ivf(emb, [0, 1, 2], k=10, n_centroids=8, n_probe=2).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q in exact:
+        assert len(exact[q] & approx[q]) >= 8, (q, exact[q], approx[q])

@@ -55,7 +55,11 @@ spark = build_session(app_name=f"lkg-scale-{cpus}", master=f"local[{cpus}]",
 files = spark.read.parquet(input_path)
 mentions_from_files(ingest(files.limit(64))).count()  # warm python workers
 t0 = time.time()
-res = run_pipeline(spark, files, use_lsh="auto", bucket_by_repo=max(cpus, 16))
+# 4 tasks per core: the extraction stage (the dominant cost) must
+# have enough partitions to fill every core with load-balance slack —
+# at 16 partitions a local[32] run left half the cores idle
+res = run_pipeline(spark, files, use_lsh="auto",
+                   bucket_by_repo=max(4 * cpus, 16))
 n_triples = res.edges.count()
 n_nodes = res.nodes.count()
 secs = time.time() - t0
