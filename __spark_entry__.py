@@ -304,6 +304,28 @@ def multimodal_features(spark, sf_dir):
         "asset_id", "media_type", "width", "height", "n_frames")
 
 
+def doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al.) exploded to (doc_id, pick)
+    rows — exploded so the oracle compares scalar rows, not array renderings."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    out = winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.explode("winnow").alias("pick"))
+
+
+def frames_sampled(spark, sf_dir):
+    """Frame-sampling plumbing surfaced as a driver query: every-2nd-frame
+    rows of the video assets (features exercised in pytest; the oracle
+    replays the deterministic n_frames derivation)."""
+    from legal_knowledge_graph_spark.operators.multimodal import sample_frames
+
+    assets = synthetic_assets(spark, 90, seed=42)
+    return sample_frames(assets, every_n=2, fake=True).select(
+        "asset_id", F.col("frame_no").cast("int").alias("frame_no"))
+
+
 def kg_type_normalization(spark, sf_dir):
     """F4/F7 alias projections on an adversarial spelling matrix: every
     alias (mixed case + padded), every canonical, and unknowns; `kept` is
@@ -369,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_lsh": emb_knn_lsh,
         "multimodal_features": multimodal_features,
+        "doc_winnow": doc_winnow,
+        "frames_sampled": frames_sampled,
         "kg_type_normalization": kg_type_normalization,
     }
 
@@ -508,6 +532,55 @@ SELECT asset_id, media_type,
        THEN 1 + (16 * ({_HEXPOS.format(i=5)}) + ({_HEXPOS.format(i=6)})) % 8
        ELSE 1 END AS INT) AS n_frames
 FROM h"""
+
+
+# Winnowing re-stated in SQL: 5-gram md5 -> first 8 bytes as signed BIGINT
+# (hex-digit positional sum in HUGEINT), sliding-window-of-4 minima,
+# distinct picks — byte-for-byte text_analysis._winnow_udf.
+_WINNOW_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, i, md5(array_to_string(w[i:i+4], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+), hx AS (
+  SELECT doc_id, i,
+         sum((strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1)::HUGEINT
+             * (1::HUGEINT << (4 * (15 - j)))) AS v
+  FROM grams, unnest(generate_series(0, 15)) AS d(j)
+  GROUP BY doc_id, i
+), h64 AS (
+  SELECT doc_id, i,
+         CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                   THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS h
+  FROM hx
+), wm AS (
+  SELECT doc_id, i, count(*) OVER (PARTITION BY doc_id) AS n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+  FROM h64
+)
+SELECT DISTINCT doc_id, pick FROM wm WHERE i <= greatest(1, n - 3)"""
+
+_FRAMES_SQL = f"""
+WITH ids AS (
+  SELECT unnest(generate_series(0, 89)) AS i
+), h AS (
+  SELECT 'asset_' || lpad(CAST(i AS VARCHAR), 5, '0') AS asset_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         sha256(repeat(sha256('42:asset:' || CAST(i AS VARCHAR)), 4)) AS hh
+  FROM ids
+), vids AS (
+  SELECT asset_id,
+         1 + (16 * ({_HEXPOS.format(i=5)}) + ({_HEXPOS.format(i=6)})) % 8 AS n_frames
+  FROM h WHERE media_type = 'video'
+)
+SELECT asset_id, CAST(f AS INT) AS frame_no
+FROM vids, unnest(generate_series(0, n_frames - 1, 2)) AS t(f)"""
 
 
 def _type_norm_oracle() -> str:
@@ -690,6 +763,8 @@ FROM documents GROUP BY 1""",
         "doc_minhash_dedup": _NGRAM_JACCARD_SQL,
         "doc_simhash_dedup": _SIMHASH_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "doc_winnow": _WINNOW_SQL,
+        "frames_sampled": _FRAMES_SQL,
         "kg_type_normalization": _type_norm_oracle(),
         "kg_pipeline_nodes": f"""
 SELECT entity_type, canonical_name
