@@ -1,0 +1,83 @@
+"""S8/S9 + A6-A9: the surfaces VERDICT r1 listed as implemented-but-
+untested — graph JSON export, DB clear, parse/graph stats, QA report."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from legal_knowledge_graph_spark.corpus import corpus_df
+from legal_knowledge_graph_spark.operators.ingest import ingest
+from legal_knowledge_graph_spark.operators.metrics import (
+    graph_stats, parse_stats, quality_report,
+)
+from legal_knowledge_graph_spark.operators.segment import segment
+from legal_knowledge_graph_spark.plans import run_pipeline
+from legal_knowledge_graph_spark.schema import (
+    BLOCK_TYPES, ENTITY_TYPES, RELATION_TYPES,
+)
+from legal_knowledge_graph_spark.sources.io import (
+    clear_graph, export_graph_json, materialize_graph, read_graph_table,
+)
+
+N = 60
+
+
+def test_parse_stats_counts_match_blocks(spark):
+    blocks = segment(ingest(corpus_df(spark, N, seed=42)))
+    stats = {r.block_type: r.n for r in parse_stats(blocks).collect()}
+    assert set(stats) <= set(BLOCK_TYPES)
+    assert sum(stats.values()) == blocks.count()
+    assert stats.get("LICENSE", 0) > 0 and stats.get("FUNCTION", 0) > 0
+
+
+def test_graph_stats_and_quality_report(spark):
+    res = run_pipeline(spark, corpus_df(spark, N, seed=42), use_lsh=False)
+    node_stats, edge_stats = graph_stats(res.nodes, res.edges)
+    ns = {r.entity_type: r.n for r in node_stats.collect()}
+    es = {r.predicate: r.n for r in edge_stats.collect()}
+    assert set(ns) <= set(ENTITY_TYPES)
+    assert set(es) <= set(RELATION_TYPES)
+    assert sum(ns.values()) == res.nodes.count()
+    assert sum(es.values()) == res.edges.count()
+
+    rep = quality_report(res.nodes, res.edges)
+    assert rep["entity_count"] == res.nodes.count()
+    assert rep["relation_count"] == res.edges.count()
+    assert rep["issues"] == []
+    assert 0.8 <= rep["quality_score"] <= 1.0
+
+    # issue semantics (qa_agent.py analog): empty graph -> both issues
+    empty = quality_report(res.nodes.limit(0), res.edges.limit(0))
+    assert empty["quality_score"] == 0.0
+    assert "no entities extracted" in empty["issues"]
+    assert "no relations extracted" in empty["issues"]
+
+
+def test_export_json_and_clear_graph(spark, tmp_path):
+    res = run_pipeline(spark, corpus_df(spark, N, seed=42), use_lsh=False)
+    root = str(tmp_path / "graph")
+    stored_nodes, stored_edges = materialize_graph(spark, root, res.nodes, res.edges)
+
+    # S8: full-graph JSON dump round-trips counts and key fields
+    path = os.path.join(str(tmp_path), "g.json")
+    export_graph_json(stored_nodes, stored_edges, path)
+    payload = json.load(open(path))
+    assert len(payload["nodes"]) == stored_nodes.count()
+    assert len(payload["edges"]) == stored_edges.count()
+    assert {"entity_id", "entity_type", "canonical_name"} <= set(payload["nodes"][0])
+    assert {"edge_id", "subject_entity_id", "predicate"} <= set(payload["edges"][0])
+    # deterministic dump: a second export is byte-identical
+    path2 = os.path.join(str(tmp_path), "g2.json")
+    export_graph_json(stored_nodes, stored_edges, path2)
+    assert open(path).read() == open(path2).read()
+
+    # S9: clear drops both tables
+    clear_graph(root)
+    for name in ("graph_nodes", "graph_edges"):
+        try:
+            read_graph_table(spark, os.path.join(root, name))
+            raised = False
+        except FileNotFoundError:
+            raised = True
+        assert raised
