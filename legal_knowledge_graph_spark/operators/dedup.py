@@ -125,36 +125,42 @@ def _jaccard_verify(
     )
 
 
+MINHASH_TABLES = 12
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.8, text_col: str = "text",
-    num_hash_tables: int = 8, df_cap: int = SHINGLE_DF_CAP,
+    num_hash_tables: int = MINHASH_TABLES, df_cap: int = SHINGLE_DF_CAP,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates with EXACT shingle-Jaccard verify:
     the scale path (shingle -> minhash -> band -> bucket-join, candidate
     cost ~ O(near-dups), not O(n^2)). The verify stage recomputes the same
     Jaccard as ngram_jaccard_pairs over candidates only, so the output is
     a (recall-bounded) subset of the exact path with identical values —
-    which is what makes this query oracle-checkable against the same SQL."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    which is what makes this query oracle-checkable against the same SQL.
 
-    # the shingle table feeds four branches (TF sets, sizes, df-cap, verify
-    # join); materialize once so the explode doesn't recompute per branch
+    100% Catalyst minhash (r2): hash table i's signature is
+    min(xxhash64(shingle, i)) over the doc's shingle set — H independent
+    single-row bands computed in ONE groupBy (no Python, no ML fit), then
+    posexplode -> equi-self-join on (table, min). Candidate probability
+    for true Jaccard j is 1-(1-j)^H (H=12 at j=0.5 misses 2e-4 of pairs;
+    recall verified exact against the inverted-index path on the test
+    corpora — deterministic, since xxhash64 is seed-fixed)."""
+    # the shingle table feeds the signature agg, sizes, df-cap and verify
+    # join; materialize once so the explode doesn't recompute per branch
     sh = _shingles(docs, text_col).localCheckpoint()
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
-    tf = HashingTF(inputCol="sh", outputCol="tf", numFeatures=1 << 20, binary=True)
-    feats = tf.transform(sets).select("doc_id", "tf")
-    lsh = MinHashLSH(inputCol="tf", outputCol="mh",
-                     numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feats)
-    # 0.05 distance slack: the join filters on hashed-vector Jaccard, which
-    # can jitter vs shingle Jaccard under HashingTF collisions; boundary
-    # pairs must reach the exact verify, which applies the true threshold
-    pairs = model.approxSimilarityJoin(
-        feats, feats, min(1.0, 1.0 - threshold + 0.05), distCol="d")
+    sig = sh.groupBy("doc_id").agg(F.array(*[
+        F.min(F.xxhash64("shingle", F.lit(i))) for i in range(num_hash_tables)
+    ]).alias("mh"))
+    blocked = sig.select(
+        "doc_id", F.posexplode("mh").alias("table", "h"))
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "table", "h")
+    b = blocked.select(F.col("doc_id").alias("doc_b"), "table", "h")
     cand = (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(F.col("datasetA.doc_id").alias("doc_a"),
-                F.col("datasetB.doc_id").alias("doc_b"))
+        a.join(b, ["table", "h"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     return _jaccard_verify(cand, sh, threshold, df_cap)
 
