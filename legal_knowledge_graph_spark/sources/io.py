@@ -168,6 +168,34 @@ def materialize_graph(spark: SparkSession, root: str, nodes: DataFrame,
     return stored_nodes, stored_edges
 
 
+def write_bucketed_graph(
+    spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+    n_buckets: int = 64, prefix: str = "kg",
+) -> tuple[str, str]:
+    """Materialize the graph as BUCKETED tables — nodes bucketed+sorted by
+    entity_id, edges by subject_entity_id — so the hot read-side join
+    (edge -> subject node expansion) is co-located: both sides' bucket
+    layout satisfies the join's required distribution and Catalyst plans a
+    SortMergeJoin with ZERO Exchange (asserted in tests/test_bucketed.py).
+    Production analog: Iceberg `bucket(N, entity_id)` partition transforms
+    with storage-partitioned joins; n_buckets scales with cluster cores
+    (4x tasks/core at the target parallelism). Returns the table names."""
+    nodes_t, edges_t = f"{prefix}_nodes_b", f"{prefix}_edges_b"
+    (nodes.write.bucketBy(n_buckets, "entity_id").sortBy("entity_id")
+     .mode("overwrite").format("parquet").saveAsTable(nodes_t))
+    (edges.write.bucketBy(n_buckets, "subject_entity_id")
+     .sortBy("subject_entity_id")
+     .mode("overwrite").format("parquet").saveAsTable(edges_t))
+    return nodes_t, edges_t
+
+
+def bucketed_edge_expansion(spark: SparkSession, nodes_t: str,
+                            edges_t: str) -> DataFrame:
+    """edges ⋈ subject-node over the bucketed tables: shuffle-free."""
+    n = spark.table(nodes_t).withColumnRenamed("entity_id", "subject_entity_id")
+    return spark.table(edges_t).join(n, "subject_entity_id")
+
+
 def replace_parquet(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
     """Write `df` as a NEW snapshot version and swap the `_current` pointer
     (Iceberg `REPLACE TABLE ... AS SELECT` analog). Unlike upsert_parquet
