@@ -304,6 +304,26 @@ def multimodal_features(spark, sf_dir):
         "asset_id", "media_type", "width", "height", "n_frames")
 
 
+def kg_term_neighbors(spark, sf_dir):
+    """Graph READ-BACK surfaced as a driver query (models.py:119-159
+    analog): bounded 2-hop neighbor expansion from the 'join' term over the
+    co-occurrence graph, via the same operators/graph_query.neighbors BFS
+    used on the materialized store."""
+    from legal_knowledge_graph_spark.operators import graph_query
+
+    docs = _t(spark, sf_dir, "documents")
+    nodes = doc_kg.term_nodes(docs, spark).select(
+        F.col("canonical").alias("entity_id"),
+        F.lit("Term").alias("entity_type"),
+        F.col("canonical").alias("canonical_name"))
+    edges = doc_kg.term_cooccurrence_edges(docs, spark).select(
+        F.col("term_a").alias("subject_entity_id"),
+        F.col("term_b").alias("object_entity_id"))
+    out = graph_query.neighbors(nodes, edges, "join", depth=2)
+    return out.select("entity_id", "entity_type", "canonical_name",
+                      F.col("hop").cast("int").alias("hop"))
+
+
 def doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al.) exploded to (doc_id, pick)
     rows — exploded so the oracle compares scalar rows, not array renderings."""
@@ -394,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": doc_winnow,
         "frames_sampled": frames_sampled,
         "kg_type_normalization": kg_type_normalization,
+        "kg_term_neighbors": kg_term_neighbors,
     }
 
 
@@ -765,6 +786,27 @@ FROM documents GROUP BY 1""",
         "multimodal_features": _MULTIMODAL_SQL,
         "doc_winnow": _WINNOW_SQL,
         "frames_sampled": _FRAMES_SQL,
+        # 2-hop BFS re-stated relationally over the symmetrized
+        # co-occurrence graph (same >=2-doc edge rule as kg_term_cooccurrence)
+        "kg_term_neighbors": _DOC_MENTIONS_CTE + """
+, dt AS (SELECT DISTINCT doc_id, canonical FROM mentions),
+co AS (
+  SELECT a.canonical AS term_a, b.canonical AS term_b
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), bi AS (
+  SELECT term_a AS s, term_b AS d FROM co
+  UNION ALL SELECT term_b, term_a FROM co
+), h1 AS (
+  SELECT DISTINCT d FROM bi WHERE s = 'join' AND d <> 'join'
+), h2 AS (
+  SELECT DISTINCT bi.d FROM bi JOIN h1 ON bi.s = h1.d
+  WHERE bi.d <> 'join' AND bi.d NOT IN (SELECT d FROM h1)
+)
+SELECT d AS entity_id, 'Term' AS entity_type, d AS canonical_name,
+       CAST(1 AS INT) AS hop FROM h1
+UNION ALL
+SELECT d, 'Term', d, CAST(2 AS INT) FROM h2""",
         "kg_type_normalization": _type_norm_oracle(),
         "kg_pipeline_nodes": f"""
 SELECT entity_type, canonical_name

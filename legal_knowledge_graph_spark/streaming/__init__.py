@@ -14,3 +14,4 @@ scheduled batch re-run from the checkpointed mention table.
 from .incremental import (  # noqa: F401
     incremental_mentions, run_full_incremental, run_incremental,
 )
+from .windows import run_windowed_events, windowed_event_counts  # noqa: F401

