@@ -304,6 +304,15 @@ def multimodal_features(spark, sf_dir):
         "asset_id", "media_type", "width", "height", "n_frames")
 
 
+def events_sessions(spark, sf_dir):
+    """Sessionization (30-min gap) as a batch operator — the same logic the
+    applyInPandasWithState streaming operator maintains incrementally
+    (streaming/sessions.py; stream==batch asserted in tests)."""
+    from legal_knowledge_graph_spark.streaming.sessions import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def kg_term_neighbors(spark, sf_dir):
     """Graph READ-BACK surfaced as a driver query (models.py:119-159
     analog): bounded 2-hop neighbor expansion from the 'join' term over the
@@ -415,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frames_sampled": frames_sampled,
         "kg_type_normalization": kg_type_normalization,
         "kg_term_neighbors": kg_term_neighbors,
+        "events_sessions": events_sessions,
     }
 
 
@@ -786,6 +796,21 @@ FROM documents GROUP BY 1""",
         "multimodal_features": _MULTIMODAL_SQL,
         "doc_winnow": _WINNOW_SQL,
         "frames_sampled": _FRAMES_SQL,
+        "events_sessions": """
+WITH m AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS INT) AS n_events
+FROM s GROUP BY user_id, sess_id""",
         # 2-hop BFS re-stated relationally over the symmetrized
         # co-occurrence graph (same >=2-doc edge rule as kg_term_cooccurrence)
         "kg_term_neighbors": _DOC_MENTIONS_CTE + """

@@ -15,3 +15,4 @@ from .incremental import (  # noqa: F401
     incremental_mentions, run_full_incremental, run_incremental,
 )
 from .windows import run_windowed_events, windowed_event_counts  # noqa: F401
+from .sessions import run_sessionize, sessionize_batch, sessionized  # noqa: F401

@@ -1,0 +1,145 @@
+"""Custom stateful streaming operator: event sessionization via
+applyInPandasWithState (task brief §streaming: "applyInPandasWithState
+for custom stateful operators").
+
+A session is a maximal run of a user's events with inter-event gaps below
+`gap`. State per user = the open session (start, last_ts, n). A session is
+emitted when a later event opens a new one, or when the event-time
+watermark passes last_ts + gap (EventTimeTimeout) — so state is bounded by
+the watermark exactly like a windowed aggregation, and sessions still open
+at drain end are (correctly) not final and not emitted.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType, LongType, StructField, StructType, TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), False),
+    StructField("session_start", TimestampType(), False),
+    StructField("session_end", TimestampType(), False),
+    StructField("n_events", IntegerType(), False),
+])
+
+# state: (session_start_epoch_us, last_ts_epoch_us, n_events)
+STATE_SCHEMA = StructType([
+    StructField("start_us", LongType(), True),
+    StructField("last_us", LongType(), True),
+    StructField("n", IntegerType(), True),
+])
+
+GAP_MINUTES = 30
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1000)
+
+
+def _ts(us: int):
+    return pd.Timestamp(us * 1000)
+
+
+def sessionize_fn(gap_minutes: int = GAP_MINUTES):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append((user_id, _ts(start_us), _ts(last_us), n))
+            state.remove()
+        else:
+            start_us, last_us, n = state.get if state.exists else (None, None, 0)
+            ts_all = []
+            for pdf in pdfs:
+                ts_all.extend(_us(t) for t in pdf["ts"])
+            for t in sorted(ts_all):
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us <= gap_us:
+                    last_us, n = max(last_us, t), n + 1
+                else:
+                    closed.append((user_id, _ts(start_us), _ts(last_us), n))
+                    start_us, last_us, n = t, t, 1
+            if start_us is not None:
+                state.update((start_us, last_us, n))
+                # close via event-time timeout once the watermark passes
+                # the session end + gap
+                state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60_000)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end",
+                             "n_events"])
+
+    return fn
+
+
+def sessionized(events: DataFrame, gap_minutes: int = GAP_MINUTES,
+                watermark: str = "2 hours") -> DataFrame:
+    """streaming events -> closed (user_id, session_start, session_end,
+    n_events) rows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize_fn(gap_minutes), OUTPUT_SCHEMA, STATE_SCHEMA,
+            "append", GroupStateTimeout.EventTimeTimeout)
+    )
+
+
+def run_sessionize(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    gap_minutes: int = GAP_MINUTES, watermark: str = "2 hours",
+    schema: str = ("event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string"),
+):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    q = (
+        sessionized(stream, gap_minutes, watermark)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """Batch oracle for the streaming operator: lag-based session ids
+    (pure Catalyst window functions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = gap_minutes * 60
+    # NTZ timestamps don't cast to long directly; go via TIMESTAMP (the
+    # session is pinned to UTC, so the epoch values are identical)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag("ts").over(w).cast("timestamp").cast("long")
+    marked = events.select("user_id", "ts").withColumn(
+        "new_sess", (sec - prev > gap).cast("int"))
+    sess = marked.withColumn(
+        "sess_id", F.sum(F.coalesce("new_sess", F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).cast("int").alias("n_events"))
+        .drop("sess_id")
+    )

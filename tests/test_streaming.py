@@ -118,3 +118,50 @@ def test_watermarked_windowed_agg_equals_batch(spark, tmp_path):
               if t[0] + datetime.timedelta(hours=1) <= horizon]
     assert s == sorted(closed) and s
     assert set(s) <= set(b)
+
+
+def test_stateful_sessionization_matches_batch_oracle(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions from the
+    drained stream equal the lag-window batch oracle restricted to
+    sessions the final watermark could close."""
+    import datetime
+
+    from legal_knowledge_graph_spark.streaming import (
+        run_sessionize, sessionize_batch,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, user, minutes):
+        return (i, base + datetime.timedelta(minutes=minutes), user, "click",
+                1.0, "{}")
+
+    rows = [
+        # user 1: two sessions (gap 120 min > 30)
+        ev(0, 1, 0), ev(1, 1, 5), ev(2, 1, 10),
+        ev(3, 1, 130), ev(4, 1, 140),
+        # user 2: one session
+        ev(5, 2, 20), ev(6, 2, 45),
+        # sentinel far in the future pushes the watermark past everything
+        ev(7, 99, 24 * 60),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    landing = str(tmp_path / "sess_landing")
+    events.coalesce(1).write.mode("overwrite").parquet(landing)
+    out = str(tmp_path / "sess_out")
+    run_sessionize(spark, landing, out, str(tmp_path / "sess_ckpt"),
+                   gap_minutes=30, watermark="0 seconds")
+
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    # oracle: batch sessions closeable by the final watermark
+    # (watermark = max ts; a session closes once watermark > end + gap)
+    batch = sessionize_batch(events, gap_minutes=30)
+    max_ts = base + datetime.timedelta(minutes=24 * 60)
+    closeable = sorted(
+        tuple(r) for r in batch.collect()
+        if r.session_end + datetime.timedelta(minutes=30) < max_ts)
+    assert streamed == closeable
+    # the two user-1 sessions and the user-2 session are all closed
+    assert {(r[0], r[3]) for r in streamed} == {(1, 3), (1, 2), (2, 2)}
