@@ -304,6 +304,35 @@ def multimodal_features(spark, sf_dir):
         "asset_id", "media_type", "width", "height", "n_frames")
 
 
+def kg_term_components(spark, sf_dir):
+    """The large-star/small-star connected-components operator (the
+    canonicalization core, operators/components.py) surfaced directly:
+    components of the term co-occurrence graph, labeled by each
+    component's lexicographically-least term. Oracle = recursive-CTE
+    transitive closure + min reachable term."""
+    from legal_knowledge_graph_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = doc_kg.term_nodes(docs, spark).select(
+        F.col("canonical").alias("term"))
+    ids = terms.withColumn("id", F.xxhash64("term"))
+    co = doc_kg.term_cooccurrence_edges(docs, spark)
+    edges = (
+        co.join(ids.select(F.col("term").alias("term_a"),
+                           F.col("id").alias("src")), "term_a")
+        .join(ids.select(F.col("term").alias("term_b"),
+                         F.col("id").alias("dst")), "term_b")
+        .select("src", "dst")
+    )
+    comp = connected_components(edges)
+    labeled = ids.join(comp, ids["id"] == comp["id"], "left").select(
+        "term", F.coalesce(comp["component"], ids["id"]).alias("cid"))
+    labels = labeled.groupBy("cid").agg(F.min("term").alias("component"))
+    return labeled.join(labels, "cid").select("term", "component")
+
+
 def events_sessions(spark, sf_dir):
     """Sessionization (30-min gap) as a batch operator — the same logic the
     applyInPandasWithState streaming operator maintains incrementally
@@ -424,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frames_sampled": frames_sampled,
         "kg_type_normalization": kg_type_normalization,
         "kg_term_neighbors": kg_term_neighbors,
+        "kg_term_components": kg_term_components,
         "events_sessions": events_sessions,
     }
 
@@ -811,6 +841,24 @@ WITH m AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS INT) AS n_events
 FROM s GROUP BY user_id, sess_id""",
+        # connected components re-stated as a recursive-CTE transitive
+        # closure: component label = min reachable term (undirected closure)
+        "kg_term_components": _DOC_MENTIONS_CTE.replace(
+            "WITH words", "WITH RECURSIVE words", 1) + """
+, dt AS (SELECT DISTINCT doc_id, canonical FROM mentions),
+co AS (
+  SELECT a.canonical AS term_a, b.canonical AS term_b
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.canonical < b.canonical
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), bi AS (
+  SELECT term_a AS s, term_b AS d FROM co
+  UNION ALL SELECT term_b, term_a FROM co
+), reach(t, r) AS (
+  SELECT canonical, canonical FROM (SELECT DISTINCT canonical FROM mentions)
+  UNION
+  SELECT bi.d, reach.r FROM reach JOIN bi ON bi.s = reach.t
+)
+SELECT t AS term, min(r) AS component FROM reach GROUP BY t""",
         # 2-hop BFS re-stated relationally over the symmetrized
         # co-occurrence graph (same >=2-doc edge rule as kg_term_cooccurrence)
         "kg_term_neighbors": _DOC_MENTIONS_CTE + """
