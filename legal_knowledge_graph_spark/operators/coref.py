@@ -102,7 +102,7 @@ def resolve_coref(
     # a shuffle join.
     obs_u = Observation()
     u = u.observe(obs_u, F.count(F.lit(1)).alias("n")).localCheckpoint()
-    small = obs_u.get["n"] <= BROADCAST_FRONTIER_MAX
+    n_u = obs_u.get["n"]
 
     adj = _adjacency(resolved).localCheckpoint()
 
@@ -112,11 +112,17 @@ def resolve_coref(
         F.lit(1.0).alias("path"),
     )
 
-    def _side(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small else df
+    def _side(df: DataFrame, n_rows: int) -> DataFrame:
+        return F.broadcast(df) if n_rows <= BROADCAST_FRONTIER_MAX else df
 
     visited = frontier.select("ukey", "node")
     candidates = None
+    # broadcast-safety is re-decided EVERY hop from observed row counts
+    # (ADVICE r2): the quantity broadcast is the expanded frontier
+    # (unresolved x fan-out) and the cumulative visited union, both of
+    # which can outgrow the initial unresolved count by orders of
+    # magnitude — each hop's observe() already reports its size for free.
+    frontier_n = visited_n = n_u
     for _ in range(max_hops):
         # frontier/visited are usually tiny (one row per unresolved edge
         # times a bounded neighborhood); broadcast them so the full
@@ -125,22 +131,25 @@ def resolve_coref(
         # separate isEmpty scan per hop.
         obs = Observation()
         step = (
-            adj.join(_side(frontier), frontier["node"] == adj["src"])
+            adj.join(_side(frontier, frontier_n), frontier["node"] == adj["src"])
             .select("ukey", F.col("dst").alias("nnode"),
                     (F.col("path") * F.col("decay")).alias("path"))
             .groupBy("ukey", "nnode").agg(F.max("path").alias("path"))
             .withColumnRenamed("nnode", "node")
-            .join(_side(visited), ["ukey", "node"], "left_anti")
+            .join(_side(visited, visited_n), ["ukey", "node"], "left_anti")
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if obs.get["n"] == 0:
+        n_step = obs.get["n"]
+        if n_step == 0:
             break
         # union of already-checkpointed frontiers: no lineage growth, no
         # extra eager job needed
         visited = visited.unionByName(step.select("ukey", "node"))
+        visited_n += n_step
         candidates = step if candidates is None else candidates.unionByName(step)
         frontier = step
+        frontier_n = n_step
 
     if candidates is None:
         # nothing reachable: all parts are already deduped and disjoint
@@ -226,7 +235,9 @@ def resolve_coref(
     # rewritten keys INTO a semi-scan of resolved (map-side), then
     # broadcast-anti the tiny collision set back — resolved never shuffles.
     rewritten_d = dedup_edges(rewritten).select(*edges.columns).localCheckpoint()
+    # rewritten/dup_keys are bounded by the unresolved count, so the same
+    # observed-size guard applies to these tail broadcasts
     dup_keys = resolved.select("edge_id").join(
-        F.broadcast(rewritten_d.select("edge_id")), "edge_id", "left_semi")
-    rewritten_d = rewritten_d.join(F.broadcast(dup_keys), "edge_id", "left_anti")
+        _side(rewritten_d.select("edge_id"), n_u), "edge_id", "left_semi")
+    rewritten_d = rewritten_d.join(_side(dup_keys, n_u), "edge_id", "left_anti")
     return resolved.unionByName(rewritten_d).unionByName(hopeless)

@@ -97,16 +97,20 @@ def ngram_jaccard_pairs(
 
 def _jaccard_verify(
     cand: DataFrame, sh: DataFrame, threshold: float, df_cap: int,
+    rare: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for a given candidate-pair set (doc_a, doc_b):
     the shared verify stage of both the inverted-index and the MinHash-LSH
     path — identical formula (df-capped intersection over full sizes) so
-    both match the same SQL oracle value-for-value."""
+    both match the same SQL oracle value-for-value. `rare` (the df-capped
+    shingle list) defaults to df over `sh` itself; the minhash path passes
+    a full-corpus df computed over distinct contents x group sizes."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = (
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= df_cap).select("shingle")
-    )
+    if rare is None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= df_cap).select("shingle")
+        )
     shb = sh.join(rare, "shingle")
     inter = (
         cand.join(shb.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -145,10 +149,86 @@ def minhash_lsh_pairs(
     posexplode -> equi-self-join on (table, min). Candidate probability
     for true Jaccard j is 1-(1-j)^H (H=12 at j=0.5 misses 2e-4 of pairs;
     recall verified exact against the inverted-index path on the test
-    corpora — deterministic, since xxhash64 is seed-fixed)."""
-    # the shingle table feeds the signature agg, sizes, df-cap and verify
+    corpora — deterministic, since xxhash64 is seed-fixed).
+
+    Duplicate-heavy guard (VERDICT r2 #1): web corpora are dominated by
+    byte-identical copies, and identical docs share ALL band values — so
+    banding raw doc_ids makes every N-clone group contribute N rows per
+    band and N^2 candidate rows EACH paying the shingle-join verify.
+    Instead banding runs over DISTINCT normalized contents (the reps from
+    exact_duplicates' fingerprint groups — fingerprints() normalizes with
+    the same lower/trim/\\s+ rule as _shingles, so same fingerprint <=>
+    same shingle set): verify cost is O(rep pairs). Rep pairs then expand
+    to member doc pairs by two fingerprint equi-joins, and within-group
+    pairs get the group's self-Jaccard analytically — output identical to
+    banding the raw docs (the oracle is unchanged), but candidate work no
+    longer scales with clone counts. The df-cap stays FULL-corpus exact:
+    df(shingle) = sum of group sizes over reps containing it."""
+    fp = fingerprints(docs, text_col)
+    # feeds rep selection, full-df reconstruction, and both expansions
+    groups = (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_doc_id"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()
+    )
+    members = fp.join(groups, "fingerprint").select("doc_id", "rep_doc_id")
+    rep_docs = docs.join(
+        groups.select(F.col("rep_doc_id").alias("doc_id")), "doc_id", "left_semi")
+    # the rep shingle table feeds the signature agg, sizes, df and verify
     # join; materialize once so the explode doesn't recompute per branch
-    sh = _shingles(docs, text_col).localCheckpoint()
+    sh = _shingles(rep_docs, text_col).localCheckpoint()
+    df_full = (
+        sh.join(groups.select(F.col("rep_doc_id").alias("doc_id"), "n_docs"),
+                "doc_id")
+        .groupBy("shingle").agg(F.sum("n_docs").alias("df"))
+    )
+    rare = df_full.where(F.col("df") <= df_cap).select("shingle")
+
+    cand = _minhash_candidates(sh, num_hash_tables)
+    rep_pairs = _jaccard_verify(cand, sh, threshold, df_cap, rare=rare)
+
+    # cross-group expansion: members inherit their rep's shingle set, so
+    # the pair Jaccard is the rep pair's value verbatim
+    ma = members.select(F.col("rep_doc_id").alias("doc_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("rep_doc_id").alias("doc_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+        .select(F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"), "jaccard")
+    )
+
+    # within-group pairs: two identical docs score
+    # n_capped / (2*n_sh - n_capped) under the df-capped formula (hot
+    # shingles drop out of the intersection but not the sizes) — computed
+    # once per group, expanded to member pairs only if it clears threshold
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    capped = sh.join(rare, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_capped"))
+    wjac = F.col("n_capped") / (2 * F.col("n_sh") - F.col("n_capped"))
+    wg = (
+        groups.where(F.col("n_docs") >= 2)
+        .join(sizes.select(F.col("doc_id").alias("rep_doc_id"), "n_sh"),
+              "rep_doc_id")
+        .join(capped.select(F.col("doc_id").alias("rep_doc_id"), "n_capped"),
+              "rep_doc_id")
+        .where(wjac >= threshold)
+        .select("rep_doc_id", F.round(wjac, 6).alias("jaccard"))
+    )
+    within = (
+        wg.join(members.alias("x"), "rep_doc_id")
+        .join(members.alias("y"), "rep_doc_id")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"), "jaccard")
+    )
+    return cross.unionByName(within)
+
+
+def _minhash_candidates(sh: DataFrame, num_hash_tables: int) -> DataFrame:
+    """Banding stage over a (doc_id, shingle) table: H min-hash bands in one
+    groupBy, posexplode, equi-self-join. Split out so the skew pytest can
+    assert candidate-row counts directly."""
     sig = sh.groupBy("doc_id").agg(F.array(*[
         F.min(F.xxhash64("shingle", F.lit(i))) for i in range(num_hash_tables)
     ]).alias("mh"))
@@ -156,13 +236,12 @@ def minhash_lsh_pairs(
         "doc_id", F.posexplode("mh").alias("table", "h"))
     a = blocked.select(F.col("doc_id").alias("doc_a"), "table", "h")
     b = blocked.select(F.col("doc_id").alias("doc_b"), "table", "h")
-    cand = (
+    return (
         a.join(b, ["table", "h"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _jaccard_verify(cand, sh, threshold, df_cap)
 
 
 @F.pandas_udf(T.LongType())

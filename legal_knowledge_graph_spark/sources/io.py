@@ -73,7 +73,9 @@ class StageStore:
         m[stage] = {
             "fingerprint": fp,
             "rows": obs.get["rows"],
-            "partitions": out.rdd.getNumPartitions(),
+            # file count from the committed write — no RDD conversion
+            # (a .rdd touch forces a deserialization boundary; VERDICT r2 #7)
+            "partitions": len(out.inputFiles()),
         }
         self._save_manifest(m)
         return out

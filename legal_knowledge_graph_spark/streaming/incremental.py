@@ -62,29 +62,57 @@ def run_full_incremental(
     spark: SparkSession, input_dir: str, ledger_dir: str, graph_root: str,
     checkpoint_dir: str, max_files_per_trigger: int = 64,
     use_lsh: bool | str = "auto", on_batch=None,
+    refresh_every: int = 1, refresh_growth: float | None = None,
 ):
     """Drain available input through the FULL pipeline, one micro-batch at
     a time (see module docstring). `on_batch(batch_id)` is a test hook
     invoked after the ledger upsert and before the graph refresh — raising
     there simulates a mid-batch crash (the ledger upsert is idempotent, so
-    the replayed batch converges). Blocks until drained."""
+    the replayed batch converges). Blocks until drained.
+
+    Refresh policy (VERDICT r2 #3 — bounds total work): the ledger upsert
+    runs EVERY micro-batch (that is the exactly-once contract), but the
+    O(ledger) suffix recompute + snapshot swap runs only when due —
+    every `refresh_every` batches, or as soon as the ledger has grown by
+    `refresh_growth` (fraction, e.g. 0.5 = +50% rows) since the last
+    refresh, whichever fires first — and ALWAYS once more after the drain
+    if any batch landed since the last refresh. A long stream therefore
+    pays O(ledger) a bounded number of times, not once per micro-batch,
+    while the drained store still equals the single-shot batch run.
+    Defaults (refresh_every=1) preserve the refresh-per-batch behavior."""
     from ..operators.canonicalize import canonicalize
     from ..operators.coref import resolve_coref
     from ..operators.edge_norm import normalize_edges
     from ..operators.triples import emit_triples
-    from ..sources.io import snapshot_graph, upsert_parquet
+    from ..sources.io import read_graph_table, snapshot_graph, upsert_parquet
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        delta = mentions_from_files(ingest(batch_df))
-        ledger = upsert_parquet(spark, ledger_dir, delta, ["mention_id"])
-        if on_batch is not None:
-            on_batch(batch_id)
+    def refresh(ledger: DataFrame) -> None:
         nodes, form_map = canonicalize(ledger, spark, use_lsh)
         nodes = nodes.localCheckpoint()
         triples = emit_triples(ledger)
         edges = resolve_coref(
             normalize_edges(triples, form_map, spark), nodes, spark)
         snapshot_graph(spark, graph_root, nodes, edges)
+
+    state = {"since": 0, "rows_at_refresh": 0, "dirty": False}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        delta = mentions_from_files(ingest(batch_df))
+        ledger = upsert_parquet(spark, ledger_dir, delta, ["mention_id"])
+        if on_batch is not None:
+            on_batch(batch_id)
+        state["since"] += 1
+        state["dirty"] = True
+        due = state["since"] >= refresh_every
+        rows = None
+        if not due and refresh_growth is not None:
+            rows = ledger.count()
+            due = rows >= state["rows_at_refresh"] * (1.0 + refresh_growth)
+        if due:
+            refresh(ledger)
+            state["since"] = 0
+            state["dirty"] = False
+            state["rows_at_refresh"] = ledger.count() if rows is None else rows
 
     stream = (
         spark.readStream.schema(FILES_SCHEMA)
@@ -98,4 +126,8 @@ def run_full_incremental(
         .start()
     )
     q.awaitTermination()
+    if state["dirty"]:
+        # final drain: the last batches landed in the ledger without a
+        # refresh — fold them into one closing snapshot
+        refresh(read_graph_table(spark, ledger_dir))
     return q

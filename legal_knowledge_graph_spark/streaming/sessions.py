@@ -59,23 +59,37 @@ def sessionize_fn(gap_minutes: int = GAP_MINUTES):
             closed.append((user_id, _ts(start_us), _ts(last_us), n))
             state.remove()
         else:
-            start_us, last_us, n = state.get if state.exists else (None, None, 0)
-            ts_all = []
+            # Interval-merge sessionization (ADVICE r2): the open session is
+            # one interval [start, last] x count, every event a point
+            # interval; sort all by start and sweep-merge on gap adjacency.
+            # Watermark-admitted events that arrive in a LATER micro-batch
+            # with t < start then extend the session backward (within gap)
+            # or form their own earlier session (beyond gap) instead of
+            # being silently absorbed. All but the time-wise LAST interval
+            # are final (nothing later can attach to them through the open
+            # session); the last stays open in state.
+            items: list[list] = []
+            if state.exists:
+                s0, l0, n0 = state.get
+                items.append([s0, l0, n0])
             for pdf in pdfs:
-                ts_all.extend(_us(t) for t in pdf["ts"])
-            for t in sorted(ts_all):
-                if start_us is None:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us <= gap_us:
-                    last_us, n = max(last_us, t), n + 1
+                items.extend([_us(t), _us(t), 1] for t in pdf["ts"])
+            items.sort(key=lambda x: (x[0], x[1]))
+            merged: list[list] = []
+            for it in items:
+                if merged and it[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], it[1])
+                    merged[-1][2] += it[2]
                 else:
-                    closed.append((user_id, _ts(start_us), _ts(last_us), n))
-                    start_us, last_us, n = t, t, 1
-            if start_us is not None:
-                state.update((start_us, last_us, n))
+                    merged.append(it)
+            for s, l, n in merged[:-1]:
+                closed.append((user_id, _ts(s), _ts(l), n))
+            if merged:
+                s, l, n = merged[-1]
+                state.update((s, l, n))
                 # close via event-time timeout once the watermark passes
                 # the session end + gap
-                state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60_000)
+                state.setTimeoutTimestamp(l // 1000 + gap_minutes * 60_000)
         yield pd.DataFrame(
             closed, columns=["user_id", "session_start", "session_end",
                              "n_events"])

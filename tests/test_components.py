@@ -62,3 +62,43 @@ def test_giant_component(spark):
 def test_empty(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def test_mega_hub_bounded_memory(spark):
+    # VERDICT r2 #2: one component of ~1e5 vertices, all edges incident to a
+    # single hub — the degree-skew case where the former collect_set built a
+    # 1e5-element array in ONE row. The window-min rework streams the hub's
+    # partition through a spill-capable buffer; local mode can't re-cap JVM
+    # memory per-test, so we force the spill path explicitly by dropping the
+    # WindowExec in-memory thresholds to a few rows — the test then proves
+    # the operator completes correctly with essentially zero in-memory
+    # buffer, which is what "capped executor memory" exercises at scale.
+    n = 100_000
+    conf = spark.conf
+    old_spill = conf.get("spark.sql.windowExec.buffer.spill.threshold", None)
+    old_mem = conf.get("spark.sql.windowExec.buffer.in.memory.threshold", None)
+    conf.set("spark.sql.windowExec.buffer.spill.threshold", "64")
+    conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "64")
+    try:
+        edges = (
+            spark.range(1, n + 1)
+            .select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+        )
+        got = connected_components(edges)
+        agg = got.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("component").alias("ncomp"),
+            F.min("component").alias("cmin"),
+            F.max("component").alias("cmax"),
+        ).first()
+        assert agg["n"] == n + 1
+        assert agg["ncomp"] == 1 and agg["cmin"] == 0 and agg["cmax"] == 0
+    finally:
+        for key, old in [
+            ("spark.sql.windowExec.buffer.spill.threshold", old_spill),
+            ("spark.sql.windowExec.buffer.in.memory.threshold", old_mem),
+        ]:
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)

@@ -165,3 +165,134 @@ def test_stateful_sessionization_matches_batch_oracle(spark, tmp_path):
     assert streamed == closeable
     # the two user-1 sessions and the user-2 session are all closed
     assert {(r[0], r[3]) for r in streamed} == {(1, 3), (1, 2), (2, 2)}
+
+
+def test_refresh_policy_bounds_snapshot_count(spark, tmp_path):
+    """VERDICT r2 #3: with refresh_every=3, draining 6 micro-batches pays
+    the O(ledger) suffix recompute at most ceil(6/3)+1 times (here exactly
+    2: batches 3 and 6, no trailing dirty batch), while the final store
+    still equals the single-shot batch run."""
+    from legal_knowledge_graph_spark.plans import run_pipeline
+    from legal_knowledge_graph_spark.sources.io import read_graph_table
+    from legal_knowledge_graph_spark.streaming import run_full_incremental
+
+    n = 48
+    files = corpus_df(spark, n, seed=7)
+    landing = str(tmp_path / "landing")
+    for i in range(6):
+        files.where((F.crc32(F.concat("repo", "path")) % 6) == i) \
+            .coalesce(1).write.mode("append").parquet(landing)
+    assert spark.read.parquet(landing).count() == n
+
+    ledger = str(tmp_path / "ledger")
+    graph = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    run_full_incremental(spark, landing, ledger, graph, ckpt,
+                         max_files_per_trigger=1, use_lsh=False,
+                         refresh_every=3)
+
+    versions = [d for d in os.listdir(f"{graph}/graph_nodes")
+                if d.startswith("v")]
+    assert len(versions) <= 3
+    res = run_pipeline(spark, files, use_lsh=False)
+    want_nodes = sorted(r.entity_id for r in res.nodes.collect())
+    want_edges = sorted(
+        r.edge_id for r in res.edges.where(~F.col("need_coref")).collect())
+    got_nodes = sorted(
+        r.entity_id for r in read_graph_table(spark, f"{graph}/graph_nodes").collect())
+    got_edges = sorted(
+        r.edge_id for r in read_graph_table(spark, f"{graph}/graph_edges").collect())
+    assert got_nodes == want_nodes and got_edges == want_edges
+
+
+def test_refresh_policy_final_drain_flushes_dirty_tail(spark, tmp_path):
+    """refresh_every larger than the batch count: no batch triggers a
+    refresh, so the entire graph must come from the ONE final-drain flush
+    (exactly one snapshot version) and still equal the batch run."""
+    from legal_knowledge_graph_spark.plans import run_pipeline
+    from legal_knowledge_graph_spark.sources.io import read_graph_table
+    from legal_knowledge_graph_spark.streaming import run_full_incremental
+
+    n = 30
+    files = corpus_df(spark, n, seed=11)
+    landing = str(tmp_path / "landing")
+    for i in range(2):
+        files.where((F.crc32(F.concat("repo", "path")) % 2) == i) \
+            .coalesce(1).write.mode("append").parquet(landing)
+
+    ledger = str(tmp_path / "ledger")
+    graph = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    run_full_incremental(spark, landing, ledger, graph, ckpt,
+                         max_files_per_trigger=1, use_lsh=False,
+                         refresh_every=100)
+    versions = [d for d in os.listdir(f"{graph}/graph_nodes")
+                if d.startswith("v")]
+    assert len(versions) == 1
+    res = run_pipeline(spark, files, use_lsh=False)
+    want_edges = sorted(
+        r.edge_id for r in res.edges.where(~F.col("need_coref")).collect())
+    got_edges = sorted(
+        r.edge_id for r in read_graph_table(spark, f"{graph}/graph_edges").collect())
+    assert got_edges == want_edges
+
+
+def test_sessionization_cross_batch_late_events(spark, tmp_path):
+    """ADVICE r2: a watermark-admitted event arriving in a LATER micro-batch
+    with t BEFORE the open session must extend the session backward when
+    within the gap, and form its own earlier session when beyond it — not be
+    silently absorbed into [start, last]."""
+    import datetime
+
+    from legal_knowledge_graph_spark.streaming import (
+        run_sessionize, sessionize_batch,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, user, minutes):
+        return (i, base + datetime.timedelta(minutes=minutes), user, "click",
+                1.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    # batch 1: opens user-1 session [100,105], user-2 session [200,205];
+    # sentinel at 150 sets the watermark to 150-120=30min
+    batch1 = [ev(0, 1, 100), ev(1, 1, 105),
+              ev(2, 2, 200), ev(3, 2, 205),
+              ev(4, 99, 150)]
+    # batch-1 watermark = global max ts (205min) - 2h = 85min; batch-2's
+    # late events must stay above it to be admitted:
+    #  user 1 at 90: 100-90=10 <= gap -> extends backward to [90,105]x3
+    #  user 2 at 140: 200-140=60 > gap -> separate earlier session
+    #  sentinel at 3000 closes everything at drain
+    batch2 = [ev(5, 1, 90), ev(6, 2, 140), ev(7, 99, 3000)]
+
+    landing = str(tmp_path / "late_landing")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(landing)
+    run_sessionize(spark, landing, out, ckpt, gap_minutes=30,
+                   watermark="2 hours")
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(landing)
+    run_sessionize(spark, landing, out, ckpt, gap_minutes=30,
+                   watermark="2 hours")
+
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    m = datetime.timedelta(minutes=1)
+    want = sorted([
+        (1, base + 90 * m, base + 105 * m, 3),
+        (2, base + 140 * m, base + 140 * m, 1),
+        (2, base + 200 * m, base + 205 * m, 2),
+        (99, base + 150 * m, base + 150 * m, 1),
+    ])
+    assert streamed == want
+    # and that equals the batch oracle restricted to closeable sessions
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    final_wm = base + (3000 - 120) * m
+    closeable = sorted(
+        tuple(r) for r in sessionize_batch(all_events, gap_minutes=30).collect()
+        if r.session_end + 30 * m < final_wm)
+    assert streamed == closeable
