@@ -229,6 +229,31 @@ def kg_pipeline_edges(spark, sf_dir):
         "subject_canonical", "predicate", "object_canonical").distinct()
 
 
+def kg_pipeline_pr(spark, sf_dir):
+    """Golden P/R as a driver-visible row (VERDICT r2 #6): precision and
+    recall of the pipeline's distinct resolved (s,p,o) triples vs the
+    spec-side golden parquet — the BASELINE.json P/R >= 0.95 gate. The
+    oracle is the constant (1.0, 1.0) because kg_pipeline_edges hash-equals
+    the golden set (CORRECTNESS r2); any extraction regression moves the
+    Spark side off 1.0 and fails this row."""
+    res = run_pipeline(spark, corpus_df(spark, _corpus_size(sf_dir), seed=42),
+                       use_lsh="auto")
+    cols = ["subject_canonical", "predicate", "object_canonical"]
+    got = res.edges.where(~F.col("need_coref")).select(*cols).distinct()
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    gdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", sf_name)
+    if not os.path.isdir(gdir):
+        gdir = _GOLDEN_DIR
+    want = spark.read.parquet(
+        os.path.join(gdir, "golden_triples.parquet")).select(*cols).distinct()
+    j = got.withColumn("g", F.lit(1)).join(
+        want.withColumn("w", F.lit(1)), cols, "full")
+    return j.agg(
+        F.round(F.sum(F.col("g") * F.col("w")) / F.sum("g"), 6).alias("precision"),
+        F.round(F.sum(F.col("g") * F.col("w")) / F.sum("w"), 6).alias("recall"))
+
+
 # --- text analysis ----------------------------------------------------------
 def doc_token_count(spark, sf_dir):
     out = token_counts(_t(spark, sf_dir, "documents"))
@@ -436,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_term_cooccurrence": kg_term_cooccurrence,
         "kg_pipeline_nodes": kg_pipeline_nodes,
         "kg_pipeline_edges": kg_pipeline_edges,
+        "kg_pipeline_pr": kg_pipeline_pr,
         "doc_token_count": doc_token_count,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
@@ -887,6 +913,11 @@ FROM read_parquet('{_GOLDEN_DIR}/golden_nodes.parquet')""",
         "kg_pipeline_edges": f"""
 SELECT subject_canonical, predicate, object_canonical
 FROM read_parquet('{_GOLDEN_DIR}/golden_triples.parquet')""",
+        # genuinely exact: kg_pipeline_edges hash-equals the golden triple
+        # set, so P = R = 1.0 by construction; a pipeline regression moves
+        # the Spark side off 1.0 and fails this row (VERDICT r2 #6)
+        "kg_pipeline_pr": "SELECT CAST(1.0 AS DOUBLE) AS precision, "
+                          "CAST(1.0 AS DOUBLE) AS recall",
         "emb_near_dup": """
 WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

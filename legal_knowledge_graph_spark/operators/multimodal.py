@@ -65,6 +65,39 @@ def _real_image_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return img.width, img.height, 1, feat
 
 
+def _real_audio_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Optional real audio path (VERDICT r2 #5): stdlib `wave` for WAV/PCM
+    — zero extra dependencies. Field mapping into the shared
+    FEATURE_SCHEMA: width = sample rate (Hz), height = channel count,
+    n_frames = PCM frame count (so duration_sec = n_frames / width);
+    feature = FEATURE_DIM-segment RMS envelope, peak-normalized."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        rate, nch = w.getframerate(), w.getnchannels()
+        nfr, sw = w.getnframes(), w.getsampwidth()
+        raw = w.readframes(nfr)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+    elif sw == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    if x.size:
+        feat = np.array(
+            [np.sqrt(np.mean(s * s)) if s.size else 0.0
+             for s in np.array_split(x, FEATURE_DIM)], dtype=np.float32)
+    else:
+        feat = np.zeros(FEATURE_DIM, dtype=np.float32)
+    peak = float(feat.max())
+    if peak > 0:
+        feat = feat / peak
+    return rate, nch, nfr, feat
+
+
 def have_pil() -> bool:
     try:
         import PIL  # noqa: F401
@@ -74,18 +107,27 @@ def have_pil() -> bool:
         return False
 
 
-def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(assets: DataFrame, fake: bool = True,
+                     media_types: set[str] | None = None) -> DataFrame:
     """decode + feature-extract over Arrow batches (mapInPandas).
 
     fake=True (default here): deterministic bytes-hash stand-in.
-    fake=False: real PIL decode for images (same FEATURE_SCHEMA) when PIL
-    is importable on the executors; raises NotImplementedError otherwise,
-    and always for audio/video (libav is not available in this container).
+    fake=False: real decode into the same FEATURE_SCHEMA — PIL for images
+    (when importable on the executors), stdlib `wave` for WAV audio
+    (always available), NotImplementedError for video (no libav in this
+    container). `media_types` declares what the asset table contains so
+    the capability gate only demands the codecs actually needed (e.g.
+    {"audio"} works without PIL); None assumes all three.
     """
-    if not fake and not have_pil():
-        raise NotImplementedError(
-            "real image decode requires PIL — not available in this "
-            "environment; pass fake=True for the deterministic stub")
+    if not fake:
+        need = media_types or {"image", "audio", "video"}
+        if "image" in need and not have_pil():
+            raise NotImplementedError(
+                "real image decode requires PIL — not available in this "
+                "environment; pass fake=True for the deterministic stub, "
+                "or media_types={'audio'} for WAV-only corpora")
+        if "video" in need:
+            raise NotImplementedError("real video decode requires libav")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,13 +135,16 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 if fake:
                     w, h, nf, feat = _fake_decode(r.data)
+                    nf = nf if r.media_type == "video" else 1
                 elif r.media_type == "image":
-                    w, h, nf, feat = _real_image_decode(r.data)
+                    w, h, _, feat = _real_image_decode(r.data)
+                    nf = 1
+                elif r.media_type == "audio":
+                    w, h, nf, feat = _real_audio_decode(r.data)
                 else:
                     raise NotImplementedError(
                         f"real {r.media_type} decode requires libav")
-                rows.append((r.asset_id, r.media_type, w, h,
-                             nf if r.media_type == "video" else 1,
+                rows.append((r.asset_id, r.media_type, w, h, nf,
                              feat.tolist()))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 

@@ -1,0 +1,42 @@
+"""Physical-plan regression gates for the dedup pair generators
+(VERDICT r2 #8): candidate stages must stay equi-joins on blocking keys
+(no nested-loop/cartesian) with the designed shuffle count — an Exchange
+regression means a blocking key or pre-aggregation was lost."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from legal_knowledge_graph_spark.operators.dedup import (
+    minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_dup_pairs,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.mark.parametrize("builder,max_exchanges", [
+    (lambda d: ngram_jaccard_pairs(d, threshold=0.5), 6),
+    (lambda d: minhash_lsh_pairs(d, threshold=0.5), 21),
+    (lambda d: simhash_near_dup_pairs(d, max_hamming=3), 14),
+], ids=["ngram_jaccard", "minhash_lsh", "simhash"])
+def test_dedup_pair_generator_plans(spark, docs, builder, max_exchanges):
+    plan = _plan(builder(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _n_exchanges(plan) <= max_exchanges

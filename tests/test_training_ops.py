@@ -266,3 +266,47 @@ def test_minhash_identical_doc_skew_collapses(spark):
     assert len(near) == n_dup and len(set(near.values())) == 1
     assert 0.5 <= next(iter(near.values())) < 1.0
     assert not any(b == 10_001 or a == 10_001 for a, b in out)
+
+
+def test_real_audio_decode_wav(spark):
+    """VERDICT r2 #5: real WAV decode via stdlib wave — width carries the
+    sample rate, height the channel count, n_frames the PCM frame count,
+    feature the peak-normalized 16-segment RMS envelope."""
+    import io
+    import wave
+
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        ASSET_SCHEMA, FEATURE_DIM,
+    )
+
+    rate, nfr = 8000, 1600  # 0.2 s
+    t = np.arange(nfr) / rate
+    # loud first half, quiet second half -> envelope must step down
+    amp = np.where(t < 0.1, 12000.0, 1200.0)
+    pcm = (amp * np.sin(2 * np.pi * 440.0 * t)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    assets = spark.createDataFrame(
+        [("wav_0", "audio", bytearray(buf.getvalue()), {"source": "test"})],
+        ASSET_SCHEMA)
+
+    out = extract_features(assets, fake=False, media_types={"audio"}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height, r.n_frames) == (rate, 1, nfr)
+    assert len(r.feature) == FEATURE_DIM
+    assert max(r.feature) == pytest.approx(1.0)
+    # first 8 segments (loud half) dominate the last 8 (quiet half)
+    assert min(r.feature[:8]) > max(r.feature[8:]) * 2
+
+    # the capability gate still refuses image/video work without codecs
+    from legal_knowledge_graph_spark.operators.multimodal import have_pil
+    if not have_pil():
+        with pytest.raises(NotImplementedError):
+            extract_features(assets, fake=False, media_types={"image"})
+    with pytest.raises(NotImplementedError):
+        extract_features(assets, fake=False, media_types={"video"})

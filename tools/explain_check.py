@@ -90,6 +90,25 @@ def main() -> None:
     check("emb_near_dup no-cartesian", p,
           must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
 
+    # dedup pair generators (VERDICT r2 #8): every candidate stage must be
+    # an equi-join on blocking keys — no nested-loop/cartesian anywhere —
+    # and the shuffle count must stay at the designed number (an Exchange
+    # regression means a blocking key or pre-aggregation was lost).
+    for qname, max_exchanges in [("doc_ngram_jaccard", 6),
+                                 ("doc_minhash_dedup", 21),
+                                 ("doc_simhash_dedup", 14)]:
+        p = plan_of(E.queries()[qname](spark, sf_dir))
+        check(f"{qname} no-cartesian", p,
+              must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
+        # formatted output lists each node once in the tree and once as a
+        # "(N) Exchange" detail header — count the headers
+        import re
+        n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+        print(f"[{qname} shuffles] Exchange={n_ex} (max {max_exchanges})")
+        if n_ex > max_exchanges:
+            failures.append(
+                f"{qname}: {n_ex} Exchange nodes (max {max_exchanges})")
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
