@@ -387,6 +387,33 @@ def kg_term_neighbors(spark, sf_dir):
                       F.col("hop").cast("int").alias("hop"))
 
 
+def doc_pii(spark, sf_dir):
+    """PII detection/redaction (operators/pii.py). The synthetic documents
+    carry no PII, so the query plants one email/IPv4/phone per row with a
+    deterministic doc_id-derived expression replicated verbatim in the SQL
+    oracle — the detector and redactor then have real work whose counts
+    and redacted strings must match byte-for-byte."""
+    from legal_knowledge_graph_spark.operators.pii import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-123-4567"),
+        ).alias("text"))
+    out = pii_scan(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "redacted")
+
+
 def doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al.) exploded to (doc_id, pick)
     rows — exploded so the oracle compares scalar rows, not array renderings."""
@@ -475,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_lsh": emb_knn_lsh,
         "multimodal_features": multimodal_features,
+        "doc_pii": doc_pii,
         "doc_winnow": doc_winnow,
         "frames_sampled": frames_sampled,
         "kg_type_normalization": kg_type_normalization,
@@ -849,6 +877,30 @@ FROM documents GROUP BY 1""",
         # so the SAME oracle is a hard rows+hash check, not a weaker bound.
         "doc_minhash_dedup": _NGRAM_JACCARD_SQL,
         "doc_simhash_dedup": _SIMHASH_SQL,
+        # regexes stay in the Java-regex ∩ RE2 common subset so this is a
+        # verbatim restatement (operators/pii.py)
+        "doc_pii": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 tel 555-123-4567' AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text,
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text,
+      '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted
+FROM planted""",
         "multimodal_features": _MULTIMODAL_SQL,
         "doc_winnow": _WINNOW_SQL,
         "frames_sampled": _FRAMES_SQL,

@@ -49,7 +49,8 @@ def main() -> None:
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
         "q4_order_priority", "top_customers_per_nation", "events_hourly",
         "events_user_top_type", "kg_doc_mentions", "kg_term_cooccurrence",
-        "doc_token_count", "doc_quality", "doc_lang_id", "doc_exact_dedup",
+        "doc_token_count", "doc_quality", "doc_lang_id", "doc_pii",
+        "doc_exact_dedup",
         "doc_minhash_dedup", "doc_simhash_dedup", "emb_cosine_topk",
         "emb_knn_lsh",
     ]

@@ -228,7 +228,19 @@ def canonicalize(
     cols = ["entity_type", "text", "n_mentions", "block_type_min", "is_dict",
             "canonical_name", "entity_id"]
     form_map = sim_mapped.select(cols).unionByName(ident_mapped.select(cols))
-    form_map = form_map.localCheckpoint()
+    # the form count rides the checkpoint job: it decides whether the
+    # mention-stats join below (and normalize_edges' resolution joins
+    # downstream) can broadcast the form map — the raw-mention table is
+    # the fat side and should never re-partition for a join against a
+    # distinct-forms table that fits in memory (VERDICT r2 #4)
+    obs_fm = Observation()
+    form_map = form_map.observe(
+        obs_fm, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    from .edge_norm import BROADCAST_FORMS_MAX
+
+    fm_join = form_map.select("entity_type", "text", "entity_id", "is_dict")
+    if obs_fm.get["n"] <= BROADCAST_FORMS_MAX:
+        fm_join = F.broadcast(fm_join)
 
     # ---- cluster -> node aggregation (A2), node identity = entity_id ----
     # Two-phase SALTED aggregation: a mega-entity (a pool function defined
@@ -237,7 +249,7 @@ def canonicalize(
     # Phase 1 caps per-salt partials; phase 2 merges tiny arrays.
     mention_stats = (
         entity_mentions.select("entity_type", "text", "block_id")
-        .join(form_map.select("entity_type", "text", "entity_id", "is_dict"),
+        .join(fm_join,
               ["entity_type", "text"])
         .groupBy("entity_id",
                  F.pmod(F.xxhash64("block_id"), F.lit(32)).alias("_salt"))

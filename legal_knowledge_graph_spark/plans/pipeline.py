@@ -92,7 +92,13 @@ class KGPipeline:
                 nodes = nodes.localCheckpoint()  # used by coref + caller
 
         fp4 = fingerprint(fp2, "triples")
-        triples = self._stage("st4_triples", fp4, lambda: emit_triples(mentions))
+        # reused=True: normalize_edges' hits/misses predicate split consumes
+        # the triple table twice — without a materialization the whole
+        # emit+dedup subtree (including its widest shuffle) executes once
+        # per branch (measured in the formatted plan as two distinct
+        # Exchanges over identical inputs)
+        triples = self._stage("st4_triples", fp4, lambda: emit_triples(mentions),
+                              reused=True)
 
         fp5 = fingerprint(fp3, fp4, "edges")
         edges_raw = self._stage(

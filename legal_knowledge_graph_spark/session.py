@@ -64,6 +64,13 @@ def build_session(
                 os.environ.get("SPARK_GRAFT_INIT_PARTS",
                                str(max(shuffle_partitions * 4, 64))))
     )
+    # forensics hook: SPARK_GRAFT_EVENTLOG=<dir> records the event log for
+    # per-stage wall/CPU analysis (the BENCH/BASELINE.md recipe)
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", ev_dir))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -310,3 +310,26 @@ def test_real_audio_decode_wav(spark):
             extract_features(assets, fake=False, media_types={"image"})
     with pytest.raises(NotImplementedError):
         extract_features(assets, fake=False, media_types={"video"})
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from legal_knowledge_graph_spark.operators.pii import pii_scan
+
+    rows = [
+        (0, "reach me at alice.smith+spam@corp-mail.co.uk or bob@x.io"),
+        (1, "server 192.168.001.7 and 10.0.0.1 up; version 1.2 is not an ip"),
+        (2, "call 555-123-4567 or 555 987 6543; 12-34-56 is not a phone"),
+        (3, "clean text with no pii at all"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert (out[0].n_emails, out[0].n_ipv4, out[0].n_phones) == (2, 0, 0)
+    assert out[0].redacted == "reach me at <EMAIL> or <EMAIL>"
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (0, 2, 0)
+    assert "<IP> and <IP>" in out[1].redacted and "1.2" in out[1].redacted
+    assert (out[2].n_emails, out[2].n_ipv4, out[2].n_phones) == (0, 0, 2)
+    assert out[2].redacted.count("<PHONE>") == 2 and "12-34-56" in out[2].redacted
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 0)
+    assert out[3].redacted == rows[3][1]
+    assert out[4].redacted is None
