@@ -56,6 +56,45 @@ VER_REQUIRES_RE = re.compile(r"requires\s+version\s*>=\s*v?(\d+(?:\.\d+)+)", re.
 VER_DUNDER_RE = re.compile(r"__version__\s*=\s*[\"'](\d+(?:\.\d+)+)[\"']")
 VER_WORD_RE = re.compile(r"\bversion\s+v?(\d+(?:\.\d+)+)\b", re.IGNORECASE)
 
+# Whole-content MULTILINE twins of the metadata patterns above. The hot
+# path scans each block ONCE per pattern (C-level) instead of once per
+# line per pattern — profiling showed the per-line loop at ~5 regex
+# invocations x ~1k lines/file was the top Python cost of the dominant
+# extraction stage. Every `\s` is narrowed to horizontal whitespace
+# ([^\S\n]) so a match can never absorb a newline and couple two lines —
+# semantics stay exactly line-local, asserted equal to the per-line
+# originals in tests/test_mentions.py.
+_HS = r"[^\S\n]"
+COPYRIGHT_ML = re.compile(
+    r"Copyright" + _HS + r"*(?:\(c\)|©)?" + _HS + r"*(\d{4})"
+    r"(?:" + _HS + r"*[-–]" + _HS + r"*\d{4})?,?" + _HS + r"+([^\n]+?)"
+    + _HS + r"*$", re.MULTILINE)
+AT_AUTHOR_ML = re.compile(
+    r"@author:?" + _HS + r"+(.+?)" + _HS + r"*$", re.MULTILINE)
+VER_REQUIRES_ML = re.compile(
+    r"requires" + _HS + r"+version" + _HS + r"*>=" + _HS
+    + r"*v?(\d+(?:\.\d+)+)", re.IGNORECASE)
+VER_DUNDER_ML = re.compile(
+    r"__version__" + _HS + r"*=" + _HS + r"*[\"'](\d+(?:\.\d+)+)[\"']")
+VER_WORD_ML = re.compile(
+    r"\bversion" + _HS + r"+v?(\d+(?:\.\d+)+)\b", re.IGNORECASE)
+GO_IMPORT_ML = re.compile(r"^" + _HS + r"*\"([\w/.-]+)\",?" + _HS + r"*$",
+                          re.MULTILINE)
+CLASS_ML = re.compile(
+    r"^class" + _HS + r"+([A-Za-z_]\w*)" + _HS
+    + r"*(?:\(" + _HS + r"*([A-Za-z_][\w.]*)" + _HS + r"*\))?" + _HS + r"*:|"
+    r"^class" + _HS + r"+([A-Za-z_]\w*)"
+    r"(?:" + _HS + r"+extends" + _HS + r"+([A-Za-z_][\w.]*))?"
+    + _HS + r"*\{", re.MULTILINE)
+DEF_ML = re.compile(
+    r"^(?:def|func)" + _HS + r"+([A-Za-z_]\w*)" + _HS + r"*\(|"
+    r"^(?:export" + _HS + r"+)?(?:async" + _HS + r"+)?function"
+    + _HS + r"+([A-Za-z_]\w*)" + _HS + r"*\(", re.MULTILINE)
+METHOD_ML = re.compile(
+    r"^" + _HS + r"+def" + _HS + r"+([A-Za-z_]\w*)" + _HS + r"*\(",
+    re.MULTILINE)
+CALL_ML = re.compile(r"([A-Za-z_][\w.]*)" + _HS + r"*\(")
+
 MODULE_PATTERNS: dict[str, list[re.Pattern]] = {
     "python": [
         re.compile(r"^\s*import\s+([A-Za-z_][\w.]*)(?:\s+as\s+\w+)?", re.MULTILINE),
@@ -117,41 +156,63 @@ def detect_mentions(block_type: str, lang: str, content: str) -> list[dict]:
         line = line[: line.find("\n")] if "\n" in line else line
         out.append(_mention("License", m.group(0), m.start(), m.end(), 0.9,
                             evidence=line.strip()[:200]))
-    for line, off in _lines(content):
-        cm = COPYRIGHT_RE.search(line)
-        if cm:
-            out.append(_mention("Date", cm.group(1), off + cm.start(1),
-                                off + cm.end(1), 0.9, ctx="copyright",
+    # one C-level scan per pattern over the whole block; matches are
+    # line-confined by construction (see the _ML pattern definitions), so
+    # each is exactly what the former per-line loop produced. _line()
+    # reconstructs the enclosing line only per MATCH (rare), not per line.
+    def _line(pos: int) -> str:
+        ls = content.rfind("\n", 0, pos) + 1
+        le = content.find("\n", pos)
+        return content[ls:] if le == -1 else content[ls:le]
+
+    for cm in COPYRIGHT_ML.finditer(content):
+        line = _line(cm.start())
+        out.append(_mention("Date", cm.group(1), cm.start(1), cm.end(1), 0.9,
+                            ctx="copyright", evidence=line.strip()[:200]))
+        author = cm.group(2).rstrip(",;")
+        if author and len(author) <= 60 and not author[0].isdigit():
+            out.append(_mention("Author", author, cm.start(2),
+                                cm.start(2) + len(author), 0.9,
                                 evidence=line.strip()[:200]))
-            author = cm.group(2).rstrip(",;")
-            if author and len(author) <= 60 and not author[0].isdigit():
-                out.append(_mention("Author", author, off + cm.start(2),
-                                    off + cm.start(2) + len(author), 0.9,
-                                    evidence=line.strip()[:200]))
-        am = AT_AUTHOR_RE.search(line)
-        if am:
-            out.append(_mention("Author", am.group(1), off + am.start(1),
-                                off + am.end(1), 0.9, evidence=line.strip()[:200]))
+    for am in AT_AUTHOR_ML.finditer(content):
+        out.append(_mention("Author", am.group(1), am.start(1), am.end(1),
+                            0.9, evidence=_line(am.start()).strip()[:200]))
+    for dm in DATE_RE.finditer(content):
+        line = _line(dm.start())
         low = line.lower()
         ctx = "modified" if ("last modified" in low or "updated" in low) else None
-        for dm in DATE_RE.finditer(line):
-            out.append(_mention("Date", dm.group(1), off + dm.start(1),
-                                off + dm.end(1), 0.9, ctx=ctx,
+        out.append(_mention("Date", dm.group(1), dm.start(1), dm.end(1), 0.9,
+                            ctx=ctx, evidence=line.strip()[:200]))
+    # versions keep the original PER-LINE precedence: first requires-match
+    # per line wins the line; else first __version__; else first word-form
+    # unless the line names a license ("Apache License, Version 2.0" is not
+    # a file version). finditer is left-to-right, so first-seen per
+    # line-start == the per-line search()'s leftmost match.
+    ver_lines: dict[int, object] = {}
+    for rm in VER_REQUIRES_ML.finditer(content):
+        ls = content.rfind("\n", 0, rm.start()) + 1
+        if ls not in ver_lines:
+            ver_lines[ls] = rm
+            out.append(_mention("Version", rm.group(1), rm.start(1),
+                                rm.end(1), 0.9, ctx="requires",
+                                evidence=_line(rm.start()).strip()[:200]))
+    for vm in VER_DUNDER_ML.finditer(content):
+        ls = content.rfind("\n", 0, vm.start()) + 1
+        if ls not in ver_lines:
+            ver_lines[ls] = vm
+            out.append(_mention("Version", vm.group(1), vm.start(1),
+                                vm.end(1), 0.9, ctx="has",
+                                evidence=_line(vm.start()).strip()[:200]))
+    for vm in VER_WORD_ML.finditer(content):
+        ls = content.rfind("\n", 0, vm.start()) + 1
+        if ls in ver_lines:
+            continue
+        ver_lines[ls] = None  # line handled either way (emit or suppress)
+        line = _line(vm.start())
+        if not LICENSE_RE.search(line):
+            out.append(_mention("Version", vm.group(1), vm.start(1),
+                                vm.end(1), 0.9, ctx="has",
                                 evidence=line.strip()[:200]))
-        rm = VER_REQUIRES_RE.search(line)
-        if rm:
-            out.append(_mention("Version", rm.group(1), off + rm.start(1),
-                                off + rm.end(1), 0.9, ctx="requires",
-                                evidence=line.strip()[:200]))
-        else:
-            # a license name's own version ("Apache License, Version 2.0")
-            # is not a file version
-            vm = VER_DUNDER_RE.search(line) or (
-                None if LICENSE_RE.search(line) else VER_WORD_RE.search(line))
-            if vm:
-                out.append(_mention("Version", vm.group(1), off + vm.start(1),
-                                    off + vm.end(1), 0.9, ctx="has",
-                                    evidence=line.strip()[:200]))
 
     # --- modules --------------------------------------------------------
     for pat in MODULE_PATTERNS.get(lang, MODULE_PATTERNS["python"]):
@@ -159,55 +220,69 @@ def detect_mentions(block_type: str, lang: str, content: str) -> list[dict]:
             out.append(_mention("Module", m.group(1), m.start(1), m.end(1),
                                 0.95, role="import"))
     if lang == "go" and block_type == "IMPORTS":
-        for line, off in _lines(content):
-            gm = GO_IMPORT_LINE_RE.match(line)
-            if gm:
-                out.append(_mention("Module", gm.group(1), off + gm.start(1),
-                                    off + gm.end(1), 0.95, role="import"))
+        for gm in GO_IMPORT_ML.finditer(content):
+            out.append(_mention("Module", gm.group(1), gm.start(1),
+                                gm.end(1), 0.95, role="import"))
 
     # --- defs / classes / calls (code blocks only) -----------------------
+    # One C-level scan per pattern, then a single position-ordered walk
+    # replays the former per-line state machine exactly: a decl (always
+    # anchored at its line start) updates cls/encl BEFORE the calls on its
+    # own line (their positions start past the keyword), an indented `def`
+    # outside a class is NOT a decl (it neither updates state nor
+    # suppresses its own call-shaped match — the original's
+    # `METHOD_RE if cls is not None` semantics), and a call is skipped as
+    # "the declaration itself" iff its name starts exactly at a decl's
+    # name position (absolute positions are unique, so the cumulative set
+    # is equivalent to the per-line decl_span check).
     if block_type in _CALL_BLOCKS:
+        events: list[tuple[int, int, str, re.Match]] = []
+        for cm in CLASS_ML.finditer(content):
+            events.append((cm.start(), 0, "class", cm))
+        for dm in DEF_ML.finditer(content):
+            events.append((dm.start(), 0, "def", dm))
+        for mm in METHOD_ML.finditer(content):
+            events.append((mm.start(), 0, "method", mm))
+        for m in CALL_ML.finditer(content):
+            events.append((m.start(1), 1, "call", m))
+        events.sort(key=lambda e: (e[0], e[1]))
         encl: str | None = None
         cls: str | None = None
-        for line, off in _lines(content):
-            decl_span: tuple[int, int] | None = None
-            cm = CLASS_RE.match(line)
-            dm = DEF_RE.match(line)
-            mm = METHOD_RE.match(line) if cls is not None else None
-            if cm:
-                name = cm.group(1) or cm.group(3)
-                base = cm.group(2) or cm.group(4)
-                gi = 1 if cm.group(1) else 3
+        decl_starts: set[int] = set()
+        for _pos, _, kind, m in events:
+            if kind == "class":
+                name = m.group(1) or m.group(3)
+                base = m.group(2) or m.group(4)
+                gi = 1 if m.group(1) else 3
                 cls, encl = name, None
-                out.append(_mention("Class", name, off + cm.start(gi),
-                                    off + cm.end(gi), 0.95, role="def",
-                                    evidence=line.strip()[:200]))
+                out.append(_mention("Class", name, m.start(gi), m.end(gi),
+                                    0.95, role="def",
+                                    evidence=_line(m.start()).strip()[:200]))
                 if base:
-                    bi = 2 if cm.group(2) else 4
-                    out.append(_mention("Class", base, off + cm.start(bi),
-                                        off + cm.end(bi), 0.95, role="base",
-                                        cls=name))
-                decl_span = (cm.start(gi), cm.end(gi))
-            elif dm:
-                name = dm.group(1) or dm.group(2)
-                gi = 1 if dm.group(1) else 2
-                encl = name
-                cls = None
-                out.append(_mention("Function", name, off + dm.start(gi),
-                                    off + dm.end(gi), 0.95, role="def",
-                                    evidence=line.strip()[:200]))
-                decl_span = (dm.start(gi), dm.end(gi))
-            elif mm:
-                name = mm.group(1)
-                encl = name
-                out.append(_mention("Function", name, off + mm.start(1),
-                                    off + mm.end(1), 0.95, role="method",
-                                    cls=cls, evidence=line.strip()[:200]))
-                decl_span = (mm.start(1), mm.end(1))
-
-            for m in CALL_RE.finditer(line):
+                    bi = 2 if m.group(2) else 4
+                    out.append(_mention("Class", base, m.start(bi), m.end(bi),
+                                        0.95, role="base", cls=name))
+                decl_starts.add(m.start(gi))
+            elif kind == "def":
+                name = m.group(1) or m.group(2)
+                gi = 1 if m.group(1) else 2
+                encl, cls = name, None
+                out.append(_mention("Function", name, m.start(gi), m.end(gi),
+                                    0.95, role="def",
+                                    evidence=_line(m.start()).strip()[:200]))
+                decl_starts.add(m.start(gi))
+            elif kind == "method":
+                if cls is None:
+                    continue  # indented def outside a class: not a decl
                 name = m.group(1)
-                if decl_span and m.start(1) == decl_span[0]:
+                encl = name
+                out.append(_mention("Function", name, m.start(1), m.end(1),
+                                    0.95, role="method", cls=cls,
+                                    evidence=_line(m.start()).strip()[:200]))
+                decl_starts.add(m.start(1))
+            else:
+                name = m.group(1)
+                if m.start(1) in decl_starts:
                     continue  # the declaration itself
                 if name.lower() in CALL_KEYWORDS:
                     continue
@@ -215,9 +290,9 @@ def detect_mentions(block_type: str, lang: str, content: str) -> list[dict]:
                 if head in PRONOUNS or name.lower() in PRONOUNS:
                     continue  # noise, never emitted (pronoun filter)
                 out.append(_mention(
-                    "Function", name, off + m.start(1), off + m.end(1), 0.85,
+                    "Function", name, m.start(1), m.end(1), 0.85,
                     is_ref=len(name) <= 2, role="call", encl=encl,
-                    evidence=line.strip()[:200]))
+                    evidence=_line(m.start(1)).strip()[:200]))
     return out
 
 

@@ -1,14 +1,20 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side contract is real and tested — schema, partitioning, Arrow
-UDF signatures, batch shapes; the actual codec work is STUBBED (the
-image/audio libraries are not in this container): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-bytes-hash-derived feature vector stands in so downstream plumbing
-(resize, feature-extract, frame-sample, dedup-by-feature) is exercised
-end-to-end.
+UDF signatures, batch shapes. Decode paths, per media type:
 
-Production swap-in: replace `_fake_decode` with PIL/libav inside the same
+- audio: REAL for WAV/PCM via stdlib `wave` (zero extra deps);
+- video: REAL for uncompressed 24-bpp RIFF/AVI via a stdlib struct walk
+  (AVI is the same RIFF container family as WAV); codec'd streams raise
+  NotImplementedError — libav is not in this container;
+- image: real via PIL when importable on the executors (it is not in
+  this container), else NotImplementedError;
+- `fake=True` (the oracle-checked driver default): a deterministic
+  bytes-hash stand-in so downstream plumbing (resize, feature-extract,
+  frame-sample, dedup-by-feature) is exercised end-to-end and replayable
+  in SQL.
+
+Production swap-in for the codec'd gaps: put PIL/libav inside the same
 mapInPandas body; nothing else changes.
 """
 
@@ -98,6 +104,79 @@ def _real_audio_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return rate, nch, nfr, feat
 
 
+def _avi_walk(data: bytes):
+    """Minimal RIFF walk for AVI: yields (fourcc, payload) for every chunk,
+    descending into LISTs. AVI is the same RIFF container family as WAV, so
+    this is the video analog of the stdlib `wave` path — pure struct
+    parsing, zero dependencies."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    stack = [(12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0]))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = data[pos + 8:pos + 8 + size]
+            if fourcc == b"LIST":
+                stack.append((pos + 8 + size + (size & 1), end))
+                pos, end = pos + 12, pos + 8 + size
+                continue
+            yield fourcc, body
+            pos += 8 + size + (size & 1)
+
+
+def _avi_frames(data: bytes) -> tuple[int, int, Iterator[np.ndarray]]:
+    """(width, height, iterator of per-frame uint8 luminance arrays) for an
+    uncompressed (BI_RGB 24-bpp DIB) AVI. Codec'd streams ('00dc' with a
+    compressor) still require libav and raise NotImplementedError."""
+    import struct
+
+    width = height = None
+    frames: list[bytes] = []
+    for fourcc, body in _avi_walk(data):
+        if fourcc == b"strf" and width is None and len(body) >= 40:
+            _, width, height, _, bitcnt, comp = struct.unpack(
+                "<IiiHHI", body[:20])
+            if comp != 0 or bitcnt != 24:
+                raise NotImplementedError(
+                    "only uncompressed 24-bpp DIB AVI is decodable without "
+                    "libav (biCompression=0); got "
+                    f"biCompression={comp} biBitCount={bitcnt}")
+        elif fourcc[2:] in (b"db", b"dc") and fourcc[:2].isdigit():
+            frames.append(body)
+    if width is None or not frames:
+        raise NotImplementedError("AVI without an uncompressed video stream")
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+
+    def lum() -> Iterator[np.ndarray]:
+        for raw in frames:
+            px = (np.frombuffer(raw, dtype=np.uint8)[:height * stride]
+                  .reshape(height, stride)[::-1, :width * 3]  # bottom-up BGR
+                  .reshape(height, width, 3).astype(np.float32))
+            # Rec.601 luma from BGR order
+            yield (0.114 * px[..., 0] + 0.587 * px[..., 1]
+                   + 0.299 * px[..., 2]).astype(np.float32)
+
+    return width, height, lum()
+
+
+def _real_video_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real video path: uncompressed RIFF/AVI (the video analog of WAV —
+    same container family, stdlib-only). feature = per-frame mean luminance
+    resampled to a FEATURE_DIM envelope, /255-normalized; width/height/
+    n_frames are the container's. Codec'd formats raise (no libav here)."""
+    width, height, lum = _avi_frames(data)
+    means = np.array([float(fr.mean()) for fr in lum], dtype=np.float32)
+    feat = np.array([float(s.mean()) if s.size else 0.0
+                     for s in np.array_split(means, FEATURE_DIM)],
+                    dtype=np.float32) / 255.0
+    return width, height, int(means.size), feat
+
+
 def have_pil() -> bool:
     try:
         import PIL  # noqa: F401
@@ -113,11 +192,12 @@ def extract_features(assets: DataFrame, fake: bool = True,
 
     fake=True (default here): deterministic bytes-hash stand-in.
     fake=False: real decode into the same FEATURE_SCHEMA — PIL for images
-    (when importable on the executors), stdlib `wave` for WAV audio
-    (always available), NotImplementedError for video (no libav in this
+    (when importable on the executors), stdlib `wave` for WAV audio, a
+    stdlib RIFF walk for uncompressed AVI video (both always available);
+    codec'd video payloads raise inside the decode (no libav in this
     container). `media_types` declares what the asset table contains so
     the capability gate only demands the codecs actually needed (e.g.
-    {"audio"} works without PIL); None assumes all three.
+    {"audio", "video"} works without PIL); None assumes all three.
     """
     if not fake:
         need = media_types or {"image", "audio", "video"}
@@ -125,9 +205,7 @@ def extract_features(assets: DataFrame, fake: bool = True,
             raise NotImplementedError(
                 "real image decode requires PIL — not available in this "
                 "environment; pass fake=True for the deterministic stub, "
-                "or media_types={'audio'} for WAV-only corpora")
-        if "video" in need:
-            raise NotImplementedError("real video decode requires libav")
+                "or media_types={'audio', 'video'} for WAV/AVI corpora")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -141,9 +219,11 @@ def extract_features(assets: DataFrame, fake: bool = True,
                     nf = 1
                 elif r.media_type == "audio":
                     w, h, nf, feat = _real_audio_decode(r.data)
+                elif r.media_type == "video":
+                    w, h, nf, feat = _real_video_decode(r.data)
                 else:
                     raise NotImplementedError(
-                        f"real {r.media_type} decode requires libav")
+                        f"no decoder for media_type {r.media_type!r}")
                 rows.append((r.asset_id, r.media_type, w, h, nf,
                              feat.tolist()))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
@@ -153,9 +233,9 @@ def extract_features(assets: DataFrame, fake: bool = True,
 
 def sample_frames(assets: DataFrame, every_n: int = 2, fake: bool = True) -> DataFrame:
     """UDTF-shaped frame sampling: one output row per sampled frame of a
-    video asset (schema + batch-shape plumbing; decode stubbed)."""
-    if not fake:
-        raise NotImplementedError("real frame decode not available here")
+    video asset. fake=True: deterministic hash-mix stand-in per frame.
+    fake=False: real uncompressed-AVI decode — per-frame feature is a
+    FEATURE_DIM-bin luminance histogram (mass-normalized)."""
     out_schema = T.StructType([
         T.StructField("asset_id", T.StringType(), False),
         T.StructField("frame_no", T.IntegerType(), False),
@@ -168,12 +248,24 @@ def sample_frames(assets: DataFrame, every_n: int = 2, fake: bool = True) -> Dat
             for r in pdf.itertuples(index=False):
                 if r.media_type != "video":
                     continue
-                _, _, nf, feat = _fake_decode(r.data)
-                for f_no in range(0, nf, every_n):
-                    # per-frame feature = hash-mix of (payload, frame_no)
-                    mix = hashlib.sha256((r.data or b"") + bytes([f_no])).digest()
-                    fv = (np.frombuffer(mix[:FEATURE_DIM * 2], dtype=np.uint8)
-                          [:FEATURE_DIM].astype(np.float32) / 255.0)
+                if fake:
+                    _, _, nf, feat = _fake_decode(r.data)
+                    for f_no in range(0, nf, every_n):
+                        # per-frame feature = hash-mix of (payload, frame_no)
+                        mix = hashlib.sha256(
+                            (r.data or b"") + bytes([f_no])).digest()
+                        fv = (np.frombuffer(mix[:FEATURE_DIM * 2],
+                                            dtype=np.uint8)
+                              [:FEATURE_DIM].astype(np.float32) / 255.0)
+                        rows.append((r.asset_id, f_no, fv.tolist()))
+                    continue
+                _, _, lum = _avi_frames(r.data)
+                for f_no, fr in enumerate(lum):
+                    if f_no % every_n:
+                        continue
+                    hist, _ = np.histogram(
+                        fr.ravel(), bins=FEATURE_DIM, range=(0, 256))
+                    fv = hist.astype(np.float32) / max(float(hist.sum()), 1.0)
                     rows.append((r.asset_id, f_no, fv.tolist()))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 

@@ -97,3 +97,150 @@ def test_date_modified_ctx():
     ms = detect_mentions("COMMENT", "python", "# Last modified: 2024-01-15")
     d = _by_type(ms, "Date")[0]
     assert d["attributes"]["ctx"] == "modified"
+
+
+def test_vectorized_scan_matches_per_line_spec():
+    """The whole-content MULTILINE scans (one C-level pass per pattern)
+    must reproduce the per-line reference semantics exactly: matches are
+    line-confined (horizontal-whitespace-only patterns), version
+    precedence is per-line (requires > __version__ > word-form, license
+    lines suppress word-form), and the code walk replays the cls/encl
+    state machine. This reference implementation IS the spec the
+    vectorized path is pinned to."""
+    import re
+
+    from legal_knowledge_graph_spark.operators.mentions import (
+        AT_AUTHOR_RE, CALL_KEYWORDS, CALL_RE, CLASS_RE, COPYRIGHT_RE,
+        DATE_RE, DEF_RE, LICENSE_RE, METHOD_RE, VER_DUNDER_RE,
+        VER_REQUIRES_RE, VER_WORD_RE, _lines, _mention,
+    )
+    from legal_knowledge_graph_spark.schema import PRONOUNS
+
+    def spec(block_type, content):
+        out = []
+        for line, off in _lines(content):
+            cm = COPYRIGHT_RE.search(line)
+            if cm:
+                out.append(_mention("Date", cm.group(1), off + cm.start(1),
+                                    off + cm.end(1), 0.9, ctx="copyright",
+                                    evidence=line.strip()[:200]))
+                author = cm.group(2).rstrip(",;")
+                if author and len(author) <= 60 and not author[0].isdigit():
+                    out.append(_mention(
+                        "Author", author, off + cm.start(2),
+                        off + cm.start(2) + len(author), 0.9,
+                        evidence=line.strip()[:200]))
+            am = AT_AUTHOR_RE.search(line)
+            if am:
+                out.append(_mention("Author", am.group(1), off + am.start(1),
+                                    off + am.end(1), 0.9,
+                                    evidence=line.strip()[:200]))
+            low = line.lower()
+            ctx = ("modified"
+                   if ("last modified" in low or "updated" in low) else None)
+            for dm in DATE_RE.finditer(line):
+                out.append(_mention("Date", dm.group(1), off + dm.start(1),
+                                    off + dm.end(1), 0.9, ctx=ctx,
+                                    evidence=line.strip()[:200]))
+            rm = VER_REQUIRES_RE.search(line)
+            if rm:
+                out.append(_mention("Version", rm.group(1), off + rm.start(1),
+                                    off + rm.end(1), 0.9, ctx="requires",
+                                    evidence=line.strip()[:200]))
+            else:
+                vm = VER_DUNDER_RE.search(line) or (
+                    None if LICENSE_RE.search(line)
+                    else VER_WORD_RE.search(line))
+                if vm:
+                    out.append(_mention(
+                        "Version", vm.group(1), off + vm.start(1),
+                        off + vm.end(1), 0.9, ctx="has",
+                        evidence=line.strip()[:200]))
+        if block_type in {"CLASS", "FUNCTION", "TEST"}:
+            encl = cls = None
+            for line, off in _lines(content):
+                decl_span = None
+                cm = CLASS_RE.match(line)
+                dm = DEF_RE.match(line)
+                mm = METHOD_RE.match(line) if cls is not None else None
+                if cm:
+                    name = cm.group(1) or cm.group(3)
+                    base = cm.group(2) or cm.group(4)
+                    gi = 1 if cm.group(1) else 3
+                    cls, encl = name, None
+                    out.append(_mention("Class", name, off + cm.start(gi),
+                                        off + cm.end(gi), 0.95, role="def",
+                                        evidence=line.strip()[:200]))
+                    if base:
+                        bi = 2 if cm.group(2) else 4
+                        out.append(_mention("Class", base, off + cm.start(bi),
+                                            off + cm.end(bi), 0.95,
+                                            role="base", cls=name))
+                    decl_span = (cm.start(gi), cm.end(gi))
+                elif dm:
+                    name = dm.group(1) or dm.group(2)
+                    gi = 1 if dm.group(1) else 2
+                    encl, cls = name, None
+                    out.append(_mention("Function", name, off + dm.start(gi),
+                                        off + dm.end(gi), 0.95, role="def",
+                                        evidence=line.strip()[:200]))
+                    decl_span = (dm.start(gi), dm.end(gi))
+                elif mm:
+                    name = mm.group(1)
+                    encl = name
+                    out.append(_mention("Function", name, off + mm.start(1),
+                                        off + mm.end(1), 0.95, role="method",
+                                        cls=cls, evidence=line.strip()[:200]))
+                    decl_span = (mm.start(1), mm.end(1))
+                for m in CALL_RE.finditer(line):
+                    name = m.group(1)
+                    if decl_span and m.start(1) == decl_span[0]:
+                        continue
+                    if name.lower() in CALL_KEYWORDS:
+                        continue
+                    head = name.split(".", 1)[0].lower()
+                    if head in PRONOUNS or name.lower() in PRONOUNS:
+                        continue
+                    out.append(_mention(
+                        "Function", name, off + m.start(1), off + m.end(1),
+                        0.85, is_ref=len(name) <= 2, role="call", encl=encl,
+                        evidence=line.strip()[:200]))
+        return out
+
+    def key(m):
+        return (m["entity_type"], m["text"], m["start_pos"], m["end_pos"],
+                m["confidence"], m["is_reference"], m["evidence"],
+                tuple(sorted((m["attributes"] or {}).items())))
+
+    fixtures = [
+        "class A:\n    def m(self):\n        x(1)\n\ndef top():\n    y(2)\n"
+        "    def inner():\n        z(3)\n",
+        "def f(\n  a, b):\n  g()\n",
+        "x = call(\n)\nfoo\n(bar)\n",
+        "class B(Base):\n    pass\nclass C extends D {\n  method(1)\n}\n",
+        "  def orphan(self):\n    helper()\n",
+        "def dup(): dup()\n",
+        "Copyright (c) 2022\nBob Jones\n",
+        "@author:\nCarol\n",
+        "requires\nversion >= 1.2\n",
+        "requires version >= 1.2 and requires version >= 3.4\n",
+        "__version__ = '1.0' __version__ = '2.0'\n",
+        "Apache License, Version 2.0\n",
+        "version 5.5 then version 6.6\n",
+        "requires version >= 9.9 __version__ = '8.8' version 7.7\n",
+        "Last modified: 2023-01-02 and 2023-01-03\nupdated 2020-05-05\n",
+        "Copyright (c) 2022-2023, Acme Corp   \n",
+        "class E:\n  def m1(s): m2()\n  def m2(s): m1()\n",
+        "",
+    ]
+    # metadata patterns are scanned in every block type; Module patterns
+    # differ by lang and are already covered by dedicated tests — pin the
+    # python path here
+    for content in fixtures:
+        for bt in ("FUNCTION", "COMMENT"):
+            got = [m for m in detect_mentions(bt, "python", content)
+                   if m["attributes"].get("role") != "import"
+                   and m["entity_type"] != "License"]  # already whole-content
+            want = spec(bt, content)
+            assert sorted(map(key, got)) == sorted(map(key, want)), (
+                bt, content)

@@ -303,13 +303,86 @@ def test_real_audio_decode_wav(spark):
     # first 8 segments (loud half) dominate the last 8 (quiet half)
     assert min(r.feature[:8]) > max(r.feature[8:]) * 2
 
-    # the capability gate still refuses image/video work without codecs
+    # the capability gate still refuses image work without PIL
     from legal_knowledge_graph_spark.operators.multimodal import have_pil
     if not have_pil():
         with pytest.raises(NotImplementedError):
             extract_features(assets, fake=False, media_types={"image"})
-    with pytest.raises(NotImplementedError):
-        extract_features(assets, fake=False, media_types={"video"})
+
+
+def _make_avi(frames_bgr: list[np.ndarray]) -> bytes:
+    """Minimal uncompressed 24-bpp RIFF/AVI writer for tests — the byte
+    layout mirrors what any standard tool emits for BI_RGB DIB streams
+    (bottom-up rows, 4-byte row padding)."""
+    import struct
+
+    h, w, _ = frames_bgr[0].shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\0" if len(body) & 1 else b"")
+
+    def lst(listtype, body):
+        return chunk(b"LIST", listtype + body)
+
+    avih = struct.pack("<14I", 40_000, 0, 0, 0, len(frames_bgr), 0, 1,
+                       0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"\0" * 4 + struct.pack("<IHHIIIIIIII", *([0] * 11)))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = b""
+    for fr in frames_bgr:
+        dib = b"".join(
+            fr[y].tobytes() + b"\0" * (stride - w * 3)
+            for y in range(h - 1, -1, -1))  # bottom-up
+        movi_frames += chunk(b"00db", dib)
+    body = b"AVI " + hdrl + lst(b"movi", movi_frames)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_video_decode_uncompressed_avi(spark):
+    """Real video path: stdlib RIFF walk over an uncompressed 24-bpp AVI
+    (the video analog of the WAV path — same container family)."""
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        ASSET_SCHEMA, FEATURE_DIM, sample_frames,
+    )
+
+    w, h = 6, 4
+    # 5 solid frames with known luminance: gray value == luma exactly
+    levels = [0, 64, 128, 192, 255]
+    frames = [np.full((h, w, 3), v, dtype=np.uint8) for v in levels]
+    avi = _make_avi(frames)
+    assets = spark.createDataFrame(
+        [("avi_0", "video", bytearray(avi), {"source": "test"}),
+         ("bad_0", "audio", bytearray(b"not media"), {"source": "test"})],
+        ASSET_SCHEMA)
+    vid = assets.where("media_type = 'video'")
+
+    out = extract_features(vid, fake=False, media_types={"video"}).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height,
+                              out[0].n_frames) == (w, h, 5)
+    feat = out[0].feature
+    assert len(feat) == FEATURE_DIM
+    # envelope = per-frame means (0,64,128,192,255)/255; np.array_split of
+    # 5 frames into 16 segments puts one frame in each of the first 5
+    # segments and leaves the rest empty (-> 0.0)
+    assert feat[:5] == pytest.approx([v / 255.0 for v in levels], abs=1e-3)
+    assert all(f == 0.0 for f in feat[5:])
+
+    sampled = sample_frames(vid, every_n=2, fake=False).collect()
+    assert sorted(r.frame_no for r in sampled) == [0, 2, 4]
+    for r in sampled:
+        # solid frame -> histogram mass concentrated in one bin
+        assert max(r.feature) == pytest.approx(1.0)
+
+    # codec'd / non-AVI video payloads still raise at decode time
+    bad = spark.createDataFrame(
+        [("bad_1", "video", bytearray(b"\x00" * 32), {})], ASSET_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|RIFF"):
+        extract_features(bad, fake=False, media_types={"video"}).collect()
 
 
 def test_pii_scan_counts_and_redaction(spark):
