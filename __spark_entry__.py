@@ -414,6 +414,30 @@ def doc_pii(spark, sf_dir):
         "redacted")
 
 
+def doc_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate-line removal (text_analysis.py). A corpus
+    header/footer is planted into every document plus one unique per-doc
+    line, so removal must strip exactly the shared lines while preserving
+    order — the oracle replays the same plant, threshold, and rebuild in
+    SQL. cleaned is compared via md5 to keep rows compact."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        remove_boilerplate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("=== CORPUS HEADER v1 ===\n"), F.col("text"),
+            F.lit("\nGenerated by pipeline\nDoc#"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"))
+    out = remove_boilerplate(planted, min_docs=2, min_len=4)
+    return out.select(
+        "doc_id", F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("cleaned").alias("cleaned_md5"))
+
+
 def doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al.) exploded to (doc_id, pick)
     rows — exploded so the oracle compares scalar rows, not array renderings."""
@@ -503,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": emb_knn_lsh,
         "multimodal_features": multimodal_features,
         "doc_pii": doc_pii,
+        "doc_boilerplate": doc_boilerplate,
         "doc_winnow": doc_winnow,
         "frames_sampled": frames_sampled,
         "kg_type_normalization": kg_type_normalization,
@@ -902,6 +927,42 @@ SELECT doc_id,
     '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted
 FROM planted""",
         "multimodal_features": _MULTIMODAL_SQL,
+        # verbatim restatement of text_analysis.remove_boilerplate: same
+        # plant, same >=2-distinct-docs threshold on trimmed lines of
+        # length >= 4, same order-preserving rebuild
+        "doc_boilerplate": r"""
+WITH planted AS (
+  SELECT doc_id,
+         '=== CORPUS HEADER v1 ===' || chr(10) || text || chr(10)
+         || 'Generated by pipeline' || chr(10)
+         || 'Doc#' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM planted
+),
+counts AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS nd
+  FROM lines WHERE length(trim(line)) >= 4 GROUP BY line
+),
+boiler AS (SELECT line FROM counts WHERE nd >= 2),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos
+  FROM lines l LEFT JOIN boiler b USING (line)
+  WHERE b.line IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+FROM planted p LEFT JOIN rebuilt r USING (doc_id)""",
         "doc_winnow": _WINNOW_SQL,
         "frames_sampled": _FRAMES_SQL,
         "events_sessions": """

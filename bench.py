@@ -50,7 +50,7 @@ def main() -> None:
         "q4_order_priority", "top_customers_per_nation", "events_hourly",
         "events_user_top_type", "kg_doc_mentions", "kg_term_cooccurrence",
         "doc_token_count", "doc_quality", "doc_lang_id", "doc_pii",
-        "doc_exact_dedup",
+        "doc_boilerplate", "doc_exact_dedup",
         "doc_minhash_dedup", "doc_simhash_dedup", "emb_cosine_topk",
         "emb_knn_lsh",
     ]

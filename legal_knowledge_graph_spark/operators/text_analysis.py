@@ -120,6 +120,63 @@ def top_keywords(docs: DataFrame, k: int = 10, min_len: int = 2,
     )
 
 
+def boilerplate_lines(docs: DataFrame, min_docs: int = 2,
+                      min_doc_frac: float = 0.0, min_len: int = 4,
+                      text_col: str = "text") -> DataFrame:
+    """CCNet-style boilerplate detection: a line occurring in >=
+    max(min_docs, ceil(min_doc_frac * n_docs)) DISTINCT documents is
+    boilerplate (repeated headers/footers/nav chrome). Lines shorter than
+    min_len after trimming are ignored (blank lines and separators are
+    neither counted nor removed).
+
+    Scale shape: per-doc distinct BEFORE the per-line count, so a line
+    repeated a million times inside one doc contributes one row to the
+    (line)-keyed shuffle, and the groupBy count map-side combines; the
+    corpus size reaches the threshold via a broadcast 1-row count, never
+    a global window."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    counts = (
+        lines.where(F.length(F.trim(F.col("line"))) >= min_len)
+        .select("doc_id", "line").distinct()
+        .groupBy("line").agg(F.count(F.lit(1)).alias("n_docs_with_line"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    thr = F.greatest(
+        F.lit(min_docs).cast("long"),
+        F.ceil(F.lit(float(min_doc_frac)) * F.col("_n_docs")))
+    return (counts.crossJoin(F.broadcast(total))
+            .where(F.col("n_docs_with_line") >= thr)
+            .select("line", "n_docs_with_line"))
+
+
+def remove_boilerplate(docs: DataFrame, boiler: DataFrame | None = None,
+                       text_col: str = "text", **kwargs) -> DataFrame:
+    """doc_id, cleaned (text minus boilerplate lines, original order),
+    n_kept. The boilerplate table is threshold-bounded and broadcast; if a
+    corpus ever produced more boilerplate lines than fit an executor,
+    drop the hint and AQE falls back to a shuffle anti-join."""
+    if boiler is None:
+        boiler = boilerplate_lines(docs, text_col=text_col, **kwargs)
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    kept = lines.join(F.broadcast(boiler.select("line")), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda x: x["line"]),
+            "\n").alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: md5 over lowercased,
     whitespace-collapsed text — the exact-dedup key."""

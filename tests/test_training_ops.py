@@ -406,3 +406,36 @@ def test_pii_scan_counts_and_redaction(spark):
     assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 0)
     assert out[3].redacted == rows[3][1]
     assert out[4].redacted is None
+
+
+def test_boilerplate_removal(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        boilerplate_lines, remove_boilerplate,
+    )
+
+    footer = "(c) ExampleCorp — all rights reserved"
+    rows = [
+        (0, f"alpha unique zero\n{footer}\nbeta zero"),
+        (1, f"{footer}\ngamma unique one\n\nshort"),   # blank + <4 lines kept
+        (2, f"delta unique two\n{footer}"),
+        (3, "no boilerplate here at all"),
+        (4, footer),                                   # only boilerplate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    boiler = {r.line for r in boilerplate_lines(docs, min_docs=2).collect()}
+    assert boiler == {footer}
+
+    out = {r.doc_id: r for r in remove_boilerplate(docs, min_docs=2).collect()}
+    assert out[0].cleaned == "alpha unique zero\nbeta zero"
+    assert out[1].cleaned == "gamma unique one\n\nshort"  # order + blanks kept
+    assert out[2].cleaned == "delta unique two"
+    assert out[3].cleaned == rows[3][1]
+    assert (out[4].cleaned, out[4].n_kept) == ("", 0)
+    assert out[0].n_kept == 2
+
+    # frac threshold: the footer is in 4 of 5 docs — a 90% bar
+    # (ceil(0.9*5)=5 > 4) clears it, a 50% bar (ceil=3 <= 4) keeps it
+    assert {r.line for r in boilerplate_lines(
+        docs, min_docs=2, min_doc_frac=0.9).collect()} == set()
+    assert {r.line for r in boilerplate_lines(
+        docs, min_docs=2, min_doc_frac=0.5).collect()} == {footer}
