@@ -142,6 +142,10 @@ def boilerplate_lines(docs: DataFrame, min_docs: int = 2,
         .select("doc_id", "line").distinct()
         .groupBy("line").agg(F.count(F.lit(1)).alias("n_docs_with_line"))
     )
+    # the corpus count attaches as a broadcast 1-ROW cross join — the
+    # canonical scalar-attach plan (a keyed join folds to the same shape:
+    # Catalyst constant-folds any literal key). Scale-safe because the
+    # build side is exactly one row; the plan gate pins that invariant.
     total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
     thr = F.greatest(
         F.lit(min_docs).cast("long"),

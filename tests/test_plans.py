@@ -40,3 +40,22 @@ def test_dedup_pair_generator_plans(spark, docs, builder, max_exchanges):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert _n_exchanges(plan) <= max_exchanges
+
+
+def test_boilerplate_plan(spark, docs):
+    """remove_boilerplate: the anti-join on the threshold-bounded
+    boilerplate set must broadcast (no line-keyed repartition of the fat
+    side beyond the counting agg) and never go nested-loop."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        remove_boilerplate,
+    )
+
+    plan = _plan(remove_boilerplate(docs, min_docs=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # boiler-set anti-join is map-side
+    # the ONLY nested-loop join allowed is the scalar corpus-count attach:
+    # a broadcast cross join whose build side is a 1-row global aggregate
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) <= 1
+    if bnlj:
+        assert "greatest(" in plan and "_n_docs" in plan
