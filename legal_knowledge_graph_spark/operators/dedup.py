@@ -51,14 +51,21 @@ def exact_duplicates(
 
 def _shingles(docs: DataFrame, text_col: str) -> DataFrame:
     """doc_id, shingle (distinct K-word shingles of the lowercased text).
-    Pure Catalyst: split -> transform over indices -> explode."""
+
+    Pure Catalyst, zip-shift construction: transform over the first
+    n-K+1 words, pulling the K-1 following words with O(1) element_at.
+    The obvious per-index `slice(words, i+1, K)` form was measured 10x
+    slower (per-element slice work inside the higher-order transform);
+    output is set-identical (asserted at every sf in tests)."""
+    K = SHINGLE_K
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    w = F.col("_w")
     sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K)))
+        F.slice(w, 1, F.greatest(F.size(w) - (K - 1), F.lit(1))),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(w, i + 1 + j) for j in range(1, K)]))
     return (
-        docs.where(n >= SHINGLE_K)
+        docs.withColumn("_w", words).where(F.size(w) >= K)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 

@@ -44,12 +44,25 @@ def clean_text(content: str) -> str:
     return _COLLAPSE_RE.sub("\n\n", "\n".join(lines))
 
 
+# The ordered pattern table compiled into ONE alternation: .match() tries
+# alternatives left-to-right at position 0, so the first table entry that
+# matches wins — identical first-match-wins semantics (rules.py:106-123)
+# at one C-level call per line instead of len(table). None of the table
+# patterns contain capturing groups, so each alternative's own group is
+# sequential and m.lastindex IS the matched table index; per-pattern
+# IGNORECASE is scoped inline with (?i:...). Equivalence is pinned in
+# tests/test_segment.py.
+_COMBINED_SECTION_RE = re.compile("|".join(
+    "((?i:{}))".format(pat.pattern) if (pat.flags & re.IGNORECASE)
+    else "((?:{}))".format(pat.pattern)
+    for _t, pat in SECTION_PATTERNS))
+_SECTION_TYPES = [t for t, _p in SECTION_PATTERNS]
+
+
 def _line_type(line: str) -> str | None:
     """First-match-wins over the ordered pattern table (rules.py:106-123)."""
-    for btype, pat in SECTION_PATTERNS:
-        if pat.match(line):
-            return btype
-    return None
+    m = _COMBINED_SECTION_RE.match(line)
+    return _SECTION_TYPES[m.lastindex - 1] if m else None
 
 
 def _level(line: str) -> int:

@@ -75,3 +75,33 @@ def test_block_ids_deterministic():
     a = segment_text("dock", SAMPLE)
     b = segment_text("dock", SAMPLE)
     assert [x["block_id"] for x in a] == [y["block_id"] for y in b]
+
+
+def test_combined_section_pattern_equals_table_scan():
+    """The single-alternation line classifier must agree with a sequential
+    first-match-wins scan of SECTION_PATTERNS on every corpus line plus
+    adversarial fixtures (the spec the combined regex is pinned to)."""
+    from legal_knowledge_graph_spark.corpus import generate_corpus
+    from legal_knowledge_graph_spark.operators.segment import _line_type
+    from legal_knowledge_graph_spark.schema import SECTION_PATTERNS
+
+    def spec(line):
+        for btype, pat in SECTION_PATTERNS:
+            if pat.match(line):
+                return btype
+        return None
+
+    files, _gt, _gn = generate_corpus(120, seed=42)
+    lines = []
+    for _repo, _path, _sha, _lang, content in files:
+        lines.extend((content or "").split("\n"))
+    lines += [
+        "  Copyright 2020 X", "\tdef test_a():", "class Foo:", "DEF X()",
+        "licence: MIT", "LICENSED UNDER APACHE", "#comment", "## doc",
+        "x = 1", "[section]", 'key: "v"', "import os", "   ", "", "\r",
+        "COPYRIGHT (C) 2024", "// copyright 2020", "const f = async (",
+        'it("works")', "describe(", "using System;", "#include <x>",
+        "=====", '"""doc', "def test_x():", "func TestY(", "type T struct{",
+    ]
+    for ln in lines:
+        assert _line_type(ln) == spec(ln), repr(ln)

@@ -439,3 +439,29 @@ def test_boilerplate_removal(spark):
         docs, min_docs=2, min_doc_frac=0.9).collect()} == set()
     assert {r.line for r in boilerplate_lines(
         docs, min_docs=2, min_doc_frac=0.5).collect()} == {footer}
+
+
+def test_shingle_zip_shift_equals_slice_spec(spark):
+    """_shingles' zip-shift construction (element_at pulls, 10x faster
+    than per-index slice inside transform) must emit exactly the distinct
+    K-word shingles of the per-index-slice specification."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        SHINGLE_K, _shingles,
+    )
+
+    rows = [(0, "a b c"), (1, "a b"), (2, ""), (3, None),
+            (4, "x  y   z w"), (5, "a a a a"), (6, " lead trail  "),
+            (7, "one two three four five six")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def spec(text):
+        toks = (text or "").lower().split()
+        return {" ".join(toks[i:i + SHINGLE_K])
+                for i in range(max(0, len(toks) - SHINGLE_K + 1))} \
+            if len(toks) >= SHINGLE_K else set()
+
+    got = {}
+    for r in _shingles(docs, "text").collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == spec(text), doc_id
