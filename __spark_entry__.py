@@ -438,6 +438,38 @@ def doc_boilerplate(spark, sf_dir):
         F.md5("cleaned").alias("cleaned_md5"))
 
 
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.benchmark_contamination): every
+    20th document plays the held-out benchmark; each doc reports what
+    fraction of its distinct shingles leak from that set. Benchmark
+    members score 1.0 by construction (self-overlap) — a built-in
+    correctness canary the oracle must reproduce."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    return benchmark_contamination(docs, benchmark, threshold=0.5)
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic data mixing (sampling.py): per-language Bernoulli
+    rates + exact-k per source, both driven by the engine-portable
+    md5-prefix hash so DuckDB replays the selection verbatim."""
+    from legal_knowledge_graph_spark.operators.sampling import (
+        exact_k_per_stratum, stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bern = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1,
+        seed=7).select("doc_id", F.lit("bernoulli").alias("method"))
+    topk = exact_k_per_stratum(docs, "source", k=25, seed=7).select(
+        "doc_id", F.lit("exact_k").alias("method"))
+    return bern.unionByName(topk)
+
+
 def doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al.) exploded to (doc_id, pick)
     rows — exploded so the oracle compares scalar rows, not array renderings."""
@@ -528,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "doc_pii": doc_pii,
         "doc_boilerplate": doc_boilerplate,
+        "doc_decontaminate": doc_decontaminate,
+        "doc_stratified_sample": doc_stratified_sample,
         "doc_winnow": doc_winnow,
         "frames_sampled": frames_sampled,
         "kg_type_normalization": kg_type_normalization,
@@ -963,6 +997,56 @@ SELECT p.doc_id,
        CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
        md5(COALESCE(r.cleaned, '')) AS cleaned_md5
 FROM planted p LEFT JOIN rebuilt r USING (doc_id)""",
+        # verbatim restatement of dedup.benchmark_contamination: same
+        # shingle construction as _SHINGLES_CTE, benchmark = doc_id%20==0,
+        # unrounded-fraction flag
+        "doc_decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), bsh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM sh JOIN bsh USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_sh, 0) AS BIGINT) AS n_sh,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(COALESCE(CAST(h.n_hit AS DOUBLE) / s.n_sh, 0.0), 6)
+         AS contamination,
+       COALESCE(CAST(h.n_hit AS DOUBLE) / s.n_sh, 0.0) >= 0.5
+         AS contaminated
+FROM documents d
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN hits h USING (doc_id)""",
+        # verbatim restatement of sampling.stratified_sample +
+        # exact_k_per_stratum: the md5-prefix 32-bit hash is computed
+        # identically (Spark conv(hex) == DuckDB ::BIGINT on '0x'||hex)
+        "doc_stratified_sample": r"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+           AS h32
+  FROM documents
+), bern AS (
+  SELECT doc_id, 'bernoulli' AS method FROM h
+  WHERE h32 < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+               ELSE 0.1 END) * 4294967296
+), rk AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h32, doc_id) AS rk
+  FROM h
+)
+SELECT * FROM bern
+UNION ALL
+SELECT doc_id, 'exact_k' AS method FROM rk WHERE rk <= 25""",
         "doc_winnow": _WINNOW_SQL,
         "frames_sampled": _FRAMES_SQL,
         "events_sessions": """

@@ -136,6 +136,43 @@ def _jaccard_verify(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame, benchmark: DataFrame, threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination scan (the eval-leakage guard every pretraining
+    pipeline runs before training): per document, the fraction of its
+    DISTINCT K-word shingles that occur anywhere in the benchmark corpus,
+    plus a `contaminated` flag at `threshold`.
+
+    Scale shape: the benchmark shingle set is deduplicated and met with a
+    LEFT SEMI join — no row expansion however hot a shingle is, so no
+    df-cap is needed; benchmark corpora are small (eval sets), so the
+    semi join broadcasts under AQE, leaving one scan + one partial-agg
+    over the training corpus. Docs shorter than K words score 0.0
+    (nothing to leak). The flag is computed on the UNROUNDED fraction
+    (oracle parity); only the reported column is rounded."""
+    d_sh = _shingles(docs, text_col)
+    b_sh = _shingles(benchmark, text_col).select("shingle").distinct()
+    sizes = d_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        d_sh.join(b_sh, "shingle", "left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.coalesce(F.col("n_hit") / F.col("n_sh"), F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left").join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sh", F.lit(0)).cast("long").alias("n_sh"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(frac, 6).alias("contamination"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )
+
+
 MINHASH_TABLES = 12
 
 

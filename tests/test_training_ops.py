@@ -465,3 +465,65 @@ def test_shingle_zip_shift_equals_slice_spec(spark):
         got.setdefault(r.doc_id, set()).add(r.shingle)
     for doc_id, text in rows:
         assert got.get(doc_id, set()) == spec(text), doc_id
+
+
+def test_benchmark_contamination(spark):
+    from legal_knowledge_graph_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, bench_text),                                   # benchmark member
+        (1, "alpha beta gamma delta unrelated tail here"), # partial overlap
+        (2, "totally different words in this one doc"),    # clean
+        (3, "xy"),                                         # too short: 0 shingles
+        (4, bench_text + " extra"),                        # heavy overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    benchmark = docs.where("doc_id = 0")
+    out = {r.doc_id: r for r in
+           benchmark_contamination(docs, benchmark, threshold=0.5).collect()}
+    assert out[0].contamination == 1.0 and out[0].contaminated
+    # doc1: shingles = 5, overlapping = {alpha beta gamma, beta gamma delta}
+    assert (out[1].n_sh, out[1].n_hit) == (5, 2)
+    assert out[1].contamination == 0.4 and not out[1].contaminated
+    assert out[2].n_hit == 0 and not out[2].contaminated
+    assert (out[3].n_sh, out[3].contamination) == (0, 0.0)
+    # doc4: 5 shingles, 4 of them inside the benchmark text
+    assert out[4].contaminated and out[4].n_hit == 4
+
+
+def test_stratified_sampling_deterministic(spark):
+    import hashlib
+
+    from legal_knowledge_graph_spark.operators.sampling import (
+        exact_k_per_stratum, stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 3 else "de", f"s{i % 4}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+
+    def h32(i, seed):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16)
+
+    got = {r.doc_id for r in stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.1}, seed=9).collect()}
+    want = {i for i, lang, _s in rows
+            if h32(i, 9) < {"en": 0.5, "de": 0.1}[lang] * (1 << 32)}
+    assert got == want and got  # exact python replay
+
+    # repartitioning must not change the sample
+    got2 = {r.doc_id for r in stratified_sample(
+        docs.repartition(13), "lang", {"en": 0.5, "de": 0.1}, seed=9).collect()}
+    assert got2 == got
+
+    topk = exact_k_per_stratum(docs, "source", k=5, seed=9).collect()
+    by_src = {}
+    for r in topk:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 5 for v in by_src.values())
+    for src, ids in by_src.items():
+        pool = [i for i, _l, s in rows if s == src]
+        want_ids = sorted(pool, key=lambda i: (h32(i, 9), i))[:5]
+        assert sorted(ids) == sorted(want_ids), src
