@@ -59,3 +59,17 @@ def test_boilerplate_plan(spark, docs):
     assert len(bnlj) <= 1
     if bnlj:
         assert "greatest(" in plan and "_n_docs" in plan
+
+
+def test_contamination_plan(spark, docs):
+    """benchmark_contamination: the benchmark meet must be a LEFT SEMI
+    equi-join on the shingle (no expansion, no nested loop)."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    plan = _plan(benchmark_contamination(
+        docs, docs.where("doc_id % 20 = 0"), threshold=0.5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
