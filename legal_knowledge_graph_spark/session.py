@@ -54,6 +54,15 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # compress localCheckpoint / cached RDD blocks (lz4). The pipeline
+        # materializes wide string rows at every stage boundary (~1 GB at
+        # the edges stage on the 24k bench corpus) and is memory-bandwidth
+        # bound at high core counts — measured on the scaling corpus:
+        # level-32 139.7 -> 117.6 s (-16%), level-8 261.1 -> 239.1 s
+        # (-8%), same window, identical outputs. zstd was measured WORSE
+        # (169 s: codec CPU exceeds the bandwidth saving); keep lz4.
+        .config("spark.rdd.compress",
+                os.environ.get("SPARK_GRAFT_RDD_COMPRESS", "true"))
         # keep post-shuffle partitions lean: wide string rows at the
         # default 64MB advisory size starve execution memory and spill
         # (measured: 9GB spills per aggregation stage at 32 threads).
