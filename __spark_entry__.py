@@ -438,6 +438,17 @@ def doc_boilerplate(spark, sf_dir):
         F.md5("cleaned").alias("cleaned_md5"))
 
 
+def doc_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition metrics
+    (text_analysis.repetition_scores) — duplicate word / 3-gram
+    fractions, a standard pretraining quality filter."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        repetition_scores,
+    )
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
 def doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination (dedup.benchmark_contamination): every
     20th document plays the held-out benchmark; each doc reports what
@@ -560,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "doc_pii": doc_pii,
         "doc_boilerplate": doc_boilerplate,
+        "doc_repetition": doc_repetition,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
         "doc_winnow": doc_winnow,
@@ -997,6 +1009,34 @@ SELECT p.doc_id,
        CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
        md5(COALESCE(r.cleaned, '')) AS cleaned_md5
 FROM planted p LEFT JOIN rebuilt r USING (doc_id)""",
+        # verbatim restatement of text_analysis.repetition_scores (same
+        # tokenization as the shingle CTE; short docs score 0.0)
+        "doc_repetition": r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_dw,
+         greatest(len(w) - 2, 0) AS n_g
+  FROM toks
+), g AS (
+  SELECT doc_id,
+         count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS n_dg
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_dw AS BIGINT) AS n_distinct_words,
+       round(1.0 - CAST(n_dw AS DOUBLE) / greatest(n_words, 1), 6)
+         AS dup_word_frac,
+       CAST(n_g AS BIGINT) AS n_3grams,
+       CAST(COALESCE(g.n_dg, 0) AS BIGINT) AS n_distinct_3grams,
+       round(CASE WHEN n_g > 0
+                  THEN 1.0 - CAST(COALESCE(g.n_dg, 0) AS DOUBLE) / n_g
+                  ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM base b LEFT JOIN g USING (doc_id)""",
         # verbatim restatement of dedup.benchmark_contamination: same
         # shingle construction as _SHINGLES_CTE, benchmark = doc_id%20==0,
         # unrounded-fraction flag

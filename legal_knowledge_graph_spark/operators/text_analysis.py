@@ -181,6 +181,42 @@ def remove_boilerplate(docs: DataFrame, boiler: DataFrame | None = None,
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition metrics: fraction of
+    duplicated words and duplicated 3-grams (high values flag looping /
+    boilerplate-generated text, a standard pretraining quality filter).
+
+    Scale shape: scalar array expressions only (split, array_distinct,
+    zip-shift gram construction with O(1) element_at pulls) — one scan,
+    zero shuffle, embarrassingly parallel."""
+    K = 3
+    words = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    w = F.col("_w")
+    n = F.size(w)
+    grams = F.when(n >= K, F.transform(
+        F.slice(w, 1, F.greatest(n - (K - 1), F.lit(1))),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(w, i + 1 + j) for j in range(1, K)]))
+    ).otherwise(F.array().cast("array<string>"))
+    n_words = n.cast("long")
+    n_dw = F.size(F.array_distinct(w)).cast("long")
+    n_g = F.greatest(n - (K - 1), F.lit(0)).cast("long")
+    n_dg = F.size(F.array_distinct(grams)).cast("long")
+    return docs.withColumn("_w", words).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_dw.alias("n_distinct_words"),
+        F.round(1.0 - n_dw / F.greatest(n_words, F.lit(1)), 6)
+         .alias("dup_word_frac"),
+        n_g.alias("n_3grams"),
+        n_dg.alias("n_distinct_3grams"),
+        # a doc too short to have 3-grams has nothing repeated
+        F.round(F.when(n_g > 0, 1.0 - n_dg / n_g).otherwise(F.lit(0.0)), 6)
+         .alias("dup_3gram_frac"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: md5 over lowercased,
     whitespace-collapsed text — the exact-dedup key."""

@@ -527,3 +527,28 @@ def test_stratified_sampling_deterministic(spark):
         pool = [i for i, _l, s in rows if s == src]
         want_ids = sorted(pool, key=lambda i: (h32(i, 9), i))[:5]
         assert sorted(ids) == sorted(want_ids), src
+
+
+def test_repetition_scores(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        repetition_scores,
+    )
+
+    rows = [
+        (0, "spam spam spam spam spam"),             # total repetition
+        (1, "all words here are fully distinct ok"), # none
+        (2, "a b c a b c a b c"),                    # repeated 3-gram cycle
+        (3, "xy zz"),                                # too short for 3-grams
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert (out[0].n_words, out[0].n_distinct_words) == (5, 1)
+    assert out[0].dup_word_frac == 0.8
+    # 3 identical 3-grams ("spam spam spam") -> 1 distinct of 3
+    assert (out[0].n_3grams, out[0].n_distinct_3grams) == (3, 1)
+    assert out[1].dup_word_frac == 0.0 and out[1].dup_3gram_frac == 0.0
+    # "a b c" x3: 7 grams, distinct = {abc, bca, cab} = 3
+    assert (out[2].n_3grams, out[2].n_distinct_3grams) == (7, 3)
+    assert (out[3].n_3grams, out[3].dup_3gram_frac) == (0, 0.0)
+    assert out[4].n_words == 1  # null -> '' -> ['']
