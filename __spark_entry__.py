@@ -300,7 +300,8 @@ def doc_simhash_dedup(spark, sf_dir):
 
 
 def emb_near_dup(spark, sf_dir):
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, dim=64)
 
 
 # --- similarity search ------------------------------------------------------

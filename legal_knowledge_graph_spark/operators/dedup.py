@@ -428,6 +428,7 @@ EMB_LSH_TABLES = 16
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95,
     n_planes: int = EMB_LSH_PLANES, n_tables: int = EMB_LSH_TABLES,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs over (vec_id, embedding array<float>):
     random-hyperplane LSH-bucket blocking (similarity.lsh_buckets_multi_udf)
@@ -448,7 +449,11 @@ def embedding_near_dup_pairs(
 
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    dim = len(emb.select("embedding").first()[0])
+    if dim is None:
+        # ArrayType carries no width, so the fallback probes one row — ONE
+        # extra job per call. Callers know their embedding dimension; pass
+        # it to keep plan construction job-free (VERDICT r3 #7).
+        dim = len(emb.select("embedding").first()[0])
     udf = lsh_buckets_multi_udf(dim, n_planes, n_tables)
     blocked = emb.select(
         "vec_id", F.posexplode(udf(F.col("embedding"))).alias("table", "bucket"))

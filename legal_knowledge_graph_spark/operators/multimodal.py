@@ -130,22 +130,43 @@ def _avi_walk(data: bytes):
 
 def _avi_frames(data: bytes) -> tuple[int, int, Iterator[np.ndarray]]:
     """(width, height, iterator of per-frame uint8 luminance arrays) for an
-    uncompressed (BI_RGB 24-bpp DIB) AVI. Codec'd streams ('00dc' with a
-    compressor) still require libav and raise NotImplementedError."""
+    uncompressed (BI_RGB 24-bpp DIB) AVI. Codec'd streams ('NNdc' with a
+    compressor) still require libav and raise NotImplementedError.
+
+    Stream pairing (ADVICE r3): each strh declares a stream (in order —
+    stream numbers are assigned by position) and its FOLLOWING strf holds
+    that stream's format block, so in a file whose first stream is audio
+    the WAVEFORMATEX bytes are never misread as a BITMAPINFOHEADER. Only
+    the first 'vids' stream's BITMAPINFOHEADER is decoded, and only frame
+    chunks whose two-digit prefix matches that stream's number are
+    accepted — audio '01wb'-style chunks from other streams are ignored."""
     import struct
 
     width = height = None
+    vid_stream: int | None = None
+    n_streams = 0
+    pending_type: bytes | None = None
     frames: list[bytes] = []
     for fourcc, body in _avi_walk(data):
-        if fourcc == b"strf" and width is None and len(body) >= 40:
-            _, width, height, _, bitcnt, comp = struct.unpack(
-                "<IiiHHI", body[:20])
-            if comp != 0 or bitcnt != 24:
-                raise NotImplementedError(
-                    "only uncompressed 24-bpp DIB AVI is decodable without "
-                    "libav (biCompression=0); got "
-                    f"biCompression={comp} biBitCount={bitcnt}")
-        elif fourcc[2:] in (b"db", b"dc") and fourcc[:2].isdigit():
+        if fourcc == b"strh":
+            pending_type = body[:4]
+            n_streams += 1
+        elif fourcc == b"strf" and pending_type is not None:
+            if pending_type == b"vids" and vid_stream is None:
+                if len(body) < 40:
+                    raise NotImplementedError("truncated BITMAPINFOHEADER")
+                _, width, height, _, bitcnt, comp = struct.unpack(
+                    "<IiiHHI", body[:20])
+                if comp != 0 or bitcnt != 24:
+                    raise NotImplementedError(
+                        "only uncompressed 24-bpp DIB AVI is decodable "
+                        "without libav (biCompression=0); got "
+                        f"biCompression={comp} biBitCount={bitcnt}")
+                vid_stream = n_streams - 1
+            pending_type = None
+        elif (fourcc[2:] in (b"db", b"dc") and fourcc[:2].isdigit()
+              and vid_stream is not None
+              and int(fourcc[:2]) == vid_stream):
             frames.append(body)
     if width is None or not frames:
         raise NotImplementedError("AVI without an uncompressed video stream")

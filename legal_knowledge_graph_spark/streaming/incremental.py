@@ -94,7 +94,16 @@ def run_full_incremental(
             normalize_edges(triples, form_map, spark), nodes, spark)
         snapshot_graph(spark, graph_root, nodes, edges)
 
-    state = {"since": 0, "rows_at_refresh": 0, "dirty": False}
+    # growth baseline seeds from any pre-existing ledger (ADVICE r3): a
+    # resumed stream must not treat batch 1 as infinite growth against a
+    # zero baseline and force the full O(ledger) refresh the policy is
+    # meant to defer. 0 means "no baseline yet" — the first batch then
+    # ESTABLISHES the baseline instead of comparing against it.
+    try:
+        baseline = read_graph_table(spark, ledger_dir).count()
+    except FileNotFoundError:
+        baseline = 0
+    state = {"since": 0, "rows_at_refresh": baseline, "dirty": False}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         delta = mentions_from_files(ingest(batch_df))
@@ -107,7 +116,12 @@ def run_full_incremental(
         rows = None
         if not due and refresh_growth is not None:
             rows = ledger.count()
-            due = rows >= state["rows_at_refresh"] * (1.0 + refresh_growth)
+            if state["rows_at_refresh"] > 0:
+                due = rows >= state["rows_at_refresh"] * (1.0 + refresh_growth)
+            else:
+                # empty-ledger start: the first batch sets the baseline;
+                # growth is measured from here on (ADVICE r3)
+                state["rows_at_refresh"] = rows
         if due:
             refresh(ledger)
             state["since"] = 0

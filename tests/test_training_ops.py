@@ -310,10 +310,13 @@ def test_real_audio_decode_wav(spark):
             extract_features(assets, fake=False, media_types={"image"})
 
 
-def _make_avi(frames_bgr: list[np.ndarray]) -> bytes:
+def _make_avi(frames_bgr: list[np.ndarray], audio_first: bool = False) -> bytes:
     """Minimal uncompressed 24-bpp RIFF/AVI writer for tests — the byte
     layout mirrors what any standard tool emits for BI_RGB DIB streams
-    (bottom-up rows, 4-byte row padding)."""
+    (bottom-up rows, 4-byte row padding). audio_first=True prepends an
+    'auds' stream (stream 0) with a WAVEFORMATEX strf and interleaves
+    '00wb' audio chunks, so the video stream is stream 1 ('01db' frames) —
+    the ADVICE r3 stream-pairing fixture."""
     import struct
 
     h, w, _ = frames_bgr[0].shape
@@ -328,17 +331,30 @@ def _make_avi(frames_bgr: list[np.ndarray]) -> bytes:
 
     avih = struct.pack("<14I", 40_000, 0, 0, 0, len(frames_bgr), 0, 1,
                        0, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"\0" * 4 + struct.pack("<IHHIIIIIIII", *([0] * 11)))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                       stride * h, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    strh_v = (b"vids" + b"\0" * 4 + struct.pack("<IHHIIIIIIII", *([0] * 11)))
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         stride * h, 0, 0, 0, 0)
+    strl_v = lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+    strls = strl_v
+    vid_ch = b"00"
+    if audio_first:
+        strh_a = (b"auds" + b"\0" * 4
+                  + struct.pack("<IHHIIIIIIII", *([0] * 11)))
+        # 16-byte WAVEFORMATEX (PCM, 1ch, 8kHz) — would be garbage if
+        # unpacked as a BITMAPINFOHEADER
+        strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strls = lst(b"strl", chunk(b"strh", strh_a)
+                    + chunk(b"strf", strf_a)) + strl_v
+        vid_ch = b"01"
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     movi_frames = b""
     for fr in frames_bgr:
+        if audio_first:  # interleave audio chunks that must be ignored
+            movi_frames += chunk(b"00wb", b"\x11\x22" * 64)
         dib = b"".join(
             fr[y].tobytes() + b"\0" * (stride - w * 3)
             for y in range(h - 1, -1, -1))  # bottom-up
-        movi_frames += chunk(b"00db", dib)
+        movi_frames += chunk(vid_ch + b"db", dib)
     body = b"AVI " + hdrl + lst(b"movi", movi_frames)
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
@@ -383,6 +399,54 @@ def test_real_video_decode_uncompressed_avi(spark):
         [("bad_1", "video", bytearray(b"\x00" * 32), {})], ASSET_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|RIFF"):
         extract_features(bad, fake=False, media_types={"video"}).collect()
+
+
+def test_avi_audio_first_stream_pairing(spark):
+    """ADVICE r3: an AVI whose stream 0 is audio must pair each strh with
+    ITS strf (never unpack WAVEFORMATEX as a bitmap header) and only
+    accept frame chunks of the video stream's number — interleaved '00wb'
+    audio chunks are ignored, '01db' frames decode identically to the
+    single-stream file."""
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+    )
+
+    w, h = 6, 4
+    levels = [0, 64, 128, 192, 255]
+    frames = [np.full((h, w, 3), v, dtype=np.uint8) for v in levels]
+    assets = spark.createDataFrame(
+        [("av_mixed", "video", bytearray(_make_avi(frames, audio_first=True)),
+          {"source": "test"}),
+         ("av_plain", "video", bytearray(_make_avi(frames)),
+          {"source": "test"})],
+        ASSET_SCHEMA)
+    out = {r.asset_id: r for r in
+           extract_features(assets, fake=False,
+                            media_types={"video"}).collect()}
+    mixed, plain = out["av_mixed"], out["av_plain"]
+    assert (mixed.width, mixed.height, mixed.n_frames) == (w, h, 5)
+    assert mixed.feature == plain.feature
+
+
+def test_emb_near_dup_dim_param_skips_probe_job(spark):
+    """VERDICT r3 #7: with `dim` passed, building the near-dup plan runs
+    ZERO jobs (no .first() probe of the embedding width)."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("dimprobe", "plan construction must be job-free")
+    try:
+        df = embedding_near_dup_pairs(emb, threshold=0.5, dim=64)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("dimprobe")) == []
+    # the probed path (dim=None) produces the identical result
+    probed = embedding_near_dup_pairs(emb, threshold=0.5)
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, probed.collect()))
 
 
 def test_pii_scan_counts_and_redaction(spark):
@@ -527,6 +591,49 @@ def test_stratified_sampling_deterministic(spark):
         pool = [i for i, _l, s in rows if s == src]
         want_ids = sorted(pool, key=lambda i: (h32(i, 9), i))[:5]
         assert sorted(ids) == sorted(want_ids), src
+
+
+def test_exact_k_two_phase_caps_stratum_exchange(spark):
+    """VERDICT r3 #2: on a skewed-stratum fixture the stratum-keyed
+    Exchange (phase 2) is fed <= k x n_salts candidate rows per stratum —
+    never the whole stratum — and the two-phase output equals the
+    single-window form at any n_salts."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from legal_knowledge_graph_spark.operators.sampling import (
+        _salted_topk_candidates, exact_k_per_stratum,
+    )
+
+    # one mega-stratum (10k rows) + two small ones
+    rows = [(i, "hot" if i < 10_000 else f"s{i % 2}") for i in range(10_400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    k, n_salts = 7, 16
+
+    cand = _salted_topk_candidates(docs, "source", k, 9, "doc_id", n_salts)
+    per_stratum = {r["source"]: r["n"] for r in
+                   cand.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= k * n_salts for n in per_stratum.values())
+    assert per_stratum["hot"] <= k * n_salts  # 112 rows, not 10k
+
+    got = sorted((r.source, r.doc_id)
+                 for r in exact_k_per_stratum(
+                     docs, "source", k=k, seed=9, n_salts=n_salts).collect())
+
+    def h32(i, seed):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16)
+
+    want = []
+    for src in {"hot", "s0", "s1"}:
+        pool = [i for i, s in rows if s == src]
+        want += [(src, i)
+                 for i in sorted(pool, key=lambda i: (h32(i, 9), i))[:k]]
+    assert got == sorted(want)
+    # n_salts is a pure parallelism knob — output invariant
+    got2 = sorted((r.source, r.doc_id)
+                  for r in exact_k_per_stratum(
+                      docs, "source", k=k, seed=9, n_salts=3).collect())
+    assert got2 == got
 
 
 def test_repetition_scores(spark):
