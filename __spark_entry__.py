@@ -311,6 +311,21 @@ def emb_cosine_topk(spark, sf_dir):
     return knn_bruteforce(e, _KNN_QUERY_IDS, k=10)
 
 
+def emb_knn_ivf(spark, sf_dir):
+    """IVF ANN (similarity.knn_ivf): KMeans-cell blocked approximate top-k.
+    KMeans is not SQL-expressible, so the oracle is the committed golden
+    parquet (tools/make_ivf_golden.py) captured from the seeded,
+    layout-pinned run — reproduced bit-identically at local[2] and
+    local[32]; result QUALITY (recall vs exact top-k) is pinned in pytest
+    (tests/test_training_ops.py)."""
+    from legal_knowledge_graph_spark.operators.similarity import knn_ivf
+
+    out = knn_ivf(_t(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cosine").cast("double"),
+        F.col("rank").cast("int").alias("rank"))
+
+
 def emb_knn_lsh(spark, sf_dir):
     """ANN top-k, tuned for FULL top-10 coverage on this corpus (verified
     offline for every sf; planes are deterministic) so the exact-topk SQL is
@@ -569,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_lsh": emb_knn_lsh,
+        "emb_knn_ivf": emb_knn_ivf,
         "multimodal_features": multimodal_features,
         "doc_pii": doc_pii,
         "doc_boilerplate": doc_boilerplate,
@@ -1167,4 +1183,10 @@ SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.5""",
         # ANN with deterministic full top-10 coverage on this corpus (see
         # emb_knn_lsh docstring) -> the exact top-k IS its oracle.
         "emb_knn_lsh": _TOPK_SQL,
+        # KMeans cells are not SQL-expressible: golden parquet captured
+        # from the seeded layout-pinned run (tools/make_ivf_golden.py),
+        # reproduced at local[2] and local[32] (VERDICT r3 #3)
+        "emb_knn_ivf": f"""
+SELECT query_id, neighbor_id, cosine, rank
+FROM read_parquet('{_GOLDEN_DIR}/golden_ivf.parquet')""",
     }

@@ -158,7 +158,15 @@ def knn_ivf(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"))
     feats = emb.withColumn("features", array_to_vector("embedding"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(feats)
+    # pin the fit's input layout: hash-partition on the id and sort within
+    # partitions, so the float-sum aggregation order (and therefore the
+    # learned centers) is IDENTICAL at any parallelism / input layout —
+    # what makes the seeded model reproducible enough for a committed
+    # golden oracle (VERDICT r3 #3). 8 fixed partitions: the fit input is
+    # vectors only, and production corpora would fit/assign on a sampled
+    # subset anyway.
+    fit_input = feats.repartition(8, "vec_id").sortWithinPartitions("vec_id")
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(fit_input)
     assigned = model.transform(feats).select(
         "vec_id", "embedding", F.col("prediction").alias("cluster"))
 

@@ -237,14 +237,42 @@ def snapshot_graph(spark: SparkSession, root: str, nodes: DataFrame,
     return stored_nodes, stored_edges
 
 
-def export_graph_json(nodes: DataFrame, edges: DataFrame, path: str) -> None:
-    """S8 (storage.py:109-163): full-graph JSON dump (test scale)."""
+# beyond this many total rows the driver must not materialize the graph:
+# the export switches to distributed JSON-lines part files (SURVEY §2.1 S8
+# scale path) with a small manifest in place of the single pretty file
+EXPORT_COLLECT_MAX = 100_000
+
+
+def export_graph_json(nodes: DataFrame, edges: DataFrame, path: str,
+                      collect_max: int = EXPORT_COLLECT_MAX,
+                      distributed: bool | None = None) -> dict:
+    """S8 (storage.py:109-163): graph JSON export.
+
+    Small graphs (<= collect_max rows total, the reference's full-dump
+    contract) -> ONE pretty JSON file at `path`. Larger graphs — or
+    distributed=True — never touch the driver: each table is written as
+    distributed JSON-lines part files via `df.write.json` (VERDICT r3 #6)
+    and `path` holds a manifest pointing at the two directories. Returns
+    the manifest dict either way ({"format": "inline"} for the small
+    path)."""
+    if distributed is None:
+        distributed = (nodes.count() + edges.count()) > collect_max
+    if distributed:
+        nodes_dir, edges_dir = path + ".nodes", path + ".edges"
+        nodes.write.mode("overwrite").json(nodes_dir)
+        edges.write.mode("overwrite").json(edges_dir)
+        manifest = {"format": "json-dirs", "nodes": nodes_dir,
+                    "edges": edges_dir}
+        with open(path, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        return manifest
     payload = {
         "nodes": [r.asDict(recursive=True) for r in nodes.collect()],
         "edges": [r.asDict(recursive=True) for r in edges.collect()],
     }
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True, default=str)
+    return {"format": "inline"}
 
 
 def clear_graph(root: str) -> None:

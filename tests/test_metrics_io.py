@@ -72,6 +72,21 @@ def test_export_json_and_clear_graph(spark, tmp_path):
     export_graph_json(stored_nodes, stored_edges, path2)
     assert open(path).read() == open(path2).read()
 
+    # S8 scale path (VERDICT r3 #6): above the collect cap the driver
+    # never materializes — distributed JSON-lines dirs + manifest, same
+    # row contents
+    path3 = os.path.join(str(tmp_path), "g3.json")
+    manifest = export_graph_json(stored_nodes, stored_edges, path3,
+                                 collect_max=1)
+    assert manifest["format"] == "json-dirs"
+    assert json.load(open(path3)) == manifest
+    rn = spark.read.json(manifest["nodes"])
+    re_ = spark.read.json(manifest["edges"])
+    assert rn.count() == stored_nodes.count()
+    assert re_.count() == stored_edges.count()
+    assert (sorted(r.entity_id for r in rn.collect())
+            == sorted(r.entity_id for r in stored_nodes.collect()))
+
     # S9: clear drops both tables
     clear_graph(root)
     for name in ("graph_nodes", "graph_edges"):
