@@ -345,6 +345,29 @@ def multimodal_features(spark, sf_dir):
         "asset_id", "media_type", "width", "height", "n_frames")
 
 
+def multimodal_real_decode(spark, sf_dir):
+    """REAL decode on the driver path (VERDICT r3 #5): stdlib WAV + RIFF/
+    AVI decoders over the deterministic synthetic A/V corpus (including
+    audio-first two-stream AVIs), features exploded to scalar rows. The
+    oracle is the committed driver-side replay of the same decode
+    (tools/make_av_golden.py) — the row must prove the DISTRIBUTED
+    mapInPandas path reproduces it bit-for-bit."""
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        synthetic_av_assets,
+    )
+
+    assets = synthetic_av_assets(spark, n_audio=12, n_video=12, seed=42)
+    feats = extract_features(assets, fake=False,
+                             media_types={"audio", "video"})
+    return feats.select(
+        "asset_id", "media_type", "width", "height", "n_frames",
+        F.posexplode("feature").alias("fi", "fv"),
+    ).select(
+        "asset_id", "media_type", "width", "height", "n_frames",
+        F.col("fi").cast("int").alias("fi"),
+        F.col("fv").cast("double").alias("fv"))
+
+
 def kg_term_components(spark, sf_dir):
     """The large-star/small-star connected-components operator (the
     canonicalization core, operators/components.py) surfaced directly:
@@ -586,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": emb_knn_lsh,
         "emb_knn_ivf": emb_knn_ivf,
         "multimodal_features": multimodal_features,
+        "multimodal_real_decode": multimodal_real_decode,
         "doc_pii": doc_pii,
         "doc_boilerplate": doc_boilerplate,
         "doc_repetition": doc_repetition,
@@ -990,6 +1014,12 @@ SELECT doc_id,
     '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted
 FROM planted""",
         "multimodal_features": _MULTIMODAL_SQL,
+        # real WAV/AVI decode vs the committed driver-side replay
+        # (tools/make_av_golden.py; float32 widened to double on both
+        # sides, so the check is bit-for-bit)
+        "multimodal_real_decode": f"""
+SELECT asset_id, media_type, width, height, n_frames, fi, fv
+FROM read_parquet('{_GOLDEN_DIR}/golden_av.parquet')""",
         # verbatim restatement of text_analysis.remove_boilerplate: same
         # plant, same >=2-distinct-docs threshold on trimmed lines of
         # length >= 4, same order-preserving rebuild

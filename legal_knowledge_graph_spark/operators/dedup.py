@@ -179,6 +179,7 @@ MINHASH_TABLES = 12
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.8, text_col: str = "text",
     num_hash_tables: int = MINHASH_TABLES, df_cap: int = SHINGLE_DF_CAP,
+    as_groups: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates with EXACT shingle-Jaccard verify:
     the scale path (shingle -> minhash -> band -> bucket-join, candidate
@@ -207,7 +208,21 @@ def minhash_lsh_pairs(
     pairs get the group's self-Jaccard analytically — output identical to
     banding the raw docs (the oracle is unchanged), but candidate work no
     longer scales with clone counts. The df-cap stays FULL-corpus exact:
-    df(shingle) = sum of group sizes over reps containing it."""
+    df(shingle) = sum of group sizes over reps containing it.
+
+    Group mode (VERDICT r3 #4): the all-pairs OUTPUT is itself O(clone^2)
+    by contract — a 1M-clone group emits 5*10^11 rows even though the
+    candidate work is O(reps). `as_groups=True` instead returns a linear
+    (record_type, id_a, id_b, score) table:
+    - 'rep_pair' rows: near-dup pairs BETWEEN group representatives
+      (id_a/id_b = rep doc ids, score = their exact jaccard);
+    - 'member'  rows: one per document (id_a = its group rep, id_b = the
+      doc, score = the group's within-group jaccard when the group has
+      >=2 docs and clears the threshold, else null).
+    The full pair set reconstructs exactly (pinned in pytest): cross
+    pairs = rep_pair x member expansion on both ends at the rep pair's
+    score; within pairs = member pairs of any group whose member score is
+    non-null, at that score. Pairs mode stays the oracle contract."""
     fp = fingerprints(docs, text_col)
     # feeds rep selection, full-df reconstruction, and both expansions
     groups = (
@@ -232,20 +247,10 @@ def minhash_lsh_pairs(
     cand = _minhash_candidates(sh, num_hash_tables)
     rep_pairs = _jaccard_verify(cand, sh, threshold, df_cap, rare=rare)
 
-    # cross-group expansion: members inherit their rep's shingle set, so
-    # the pair Jaccard is the rep pair's value verbatim
-    ma = members.select(F.col("rep_doc_id").alias("doc_a"), F.col("doc_id").alias("da"))
-    mb = members.select(F.col("rep_doc_id").alias("doc_b"), F.col("doc_id").alias("db"))
-    cross = (
-        rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
-        .select(F.least("da", "db").alias("doc_a"),
-                F.greatest("da", "db").alias("doc_b"), "jaccard")
-    )
-
-    # within-group pairs: two identical docs score
+    # within-group score: two identical docs score
     # n_capped / (2*n_sh - n_capped) under the df-capped formula (hot
     # shingles drop out of the intersection but not the sizes) — computed
-    # once per group, expanded to member pairs only if it clears threshold
+    # once per group
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     capped = sh.join(rare, "shingle").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_capped"))
@@ -258,6 +263,28 @@ def minhash_lsh_pairs(
               "rep_doc_id")
         .where(wjac >= threshold)
         .select("rep_doc_id", F.round(wjac, 6).alias("jaccard"))
+    )
+
+    if as_groups:
+        rep_out = rep_pairs.select(
+            F.lit("rep_pair").alias("record_type"),
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
+            F.col("jaccard").alias("score"))
+        member_out = members.join(wg, "rep_doc_id", "left").select(
+            F.lit("member").alias("record_type"),
+            F.col("rep_doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.col("jaccard").alias("score"))
+        return rep_out.unionByName(member_out)
+
+    # cross-group expansion: members inherit their rep's shingle set, so
+    # the pair Jaccard is the rep pair's value verbatim
+    ma = members.select(F.col("rep_doc_id").alias("doc_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("rep_doc_id").alias("doc_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+        .select(F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"), "jaccard")
     )
     within = (
         wg.join(members.alias("x"), "rep_doc_id")
@@ -327,7 +354,7 @@ def _band16(col, i: int):
 
 def simhash_near_dup_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
-    band_cap: int = SIMHASH_BAND_CAP,
+    band_cap: int = SIMHASH_BAND_CAP, as_groups: bool = False,
 ) -> DataFrame:
     """Near-dups by Hamming(simhash) <= 3, exact and skew-proof:
 
@@ -343,6 +370,13 @@ def simhash_near_dup_pairs(
        again: <=3 differing bits across 4 sub-bands => >=1 sub-band
        identical), cutting the bucket quadratics by ~2^12 while keeping
        exactness.
+
+    Group mode (VERDICT r3 #4): `as_groups=True` returns the linear
+    (record_type, id_a, id_b, score) form instead of all doc pairs —
+    'rep_pair' rows are signature-group representative pairs (score =
+    hamming as double), 'member' rows map each doc to its signature
+    group's rep (score = 0.0: identical signatures). The pair set
+    reconstructs exactly (pytest); pairs mode stays the oracle contract.
     """
     sig = simhash_signatures(docs, text_col).localCheckpoint()
     sigs = sig.select("simhash").distinct()
@@ -405,6 +439,24 @@ def simhash_near_dup_pairs(
         .where(hamming <= max_hamming)
         .select("sh_a", "sh_b", hamming.alias("hamming"))
     )
+
+    if as_groups:
+        reps = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep_doc_id"))
+        ra = reps.select(F.col("simhash").alias("sh_a"),
+                         F.col("rep_doc_id").alias("rep_a"))
+        rb = reps.select(F.col("simhash").alias("sh_b"),
+                         F.col("rep_doc_id").alias("rep_b"))
+        rep_out = sig_pairs.join(ra, "sh_a").join(rb, "sh_b").select(
+            F.lit("rep_pair").alias("record_type"),
+            F.least("rep_a", "rep_b").alias("id_a"),
+            F.greatest("rep_a", "rep_b").alias("id_b"),
+            F.col("hamming").cast("double").alias("score"))
+        member_out = sig.join(reps, "simhash").select(
+            F.lit("member").alias("record_type"),
+            F.col("rep_doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.lit(0.0).alias("score"))
+        return rep_out.unionByName(member_out)
 
     # expand distinct-signature pairs back to doc pairs (genuine output)
     da = sig.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("doc_a"))

@@ -293,6 +293,109 @@ def sample_frames(assets: DataFrame, every_n: int = 2, fake: bool = True) -> Dat
     return assets.mapInPandas(run, schema=out_schema)
 
 
+def make_wav_bytes(freq_hz: float, n_frames: int, rate: int = 8000,
+                   loud_frac: float = 0.5) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: a sine whose amplitude steps
+    from loud to quiet at `loud_frac` of the duration — gives the RMS
+    envelope a known shape. Pure stdlib `wave` + numpy."""
+    import io
+    import wave
+
+    t = np.arange(n_frames) / rate
+    amp = np.where(t < loud_frac * n_frames / rate, 12000.0, 1200.0)
+    pcm = (amp * np.sin(2 * np.pi * freq_hz * t)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def make_avi_bytes(frames_bgr: list[np.ndarray],
+                   audio_first: bool = False) -> bytes:
+    """Minimal uncompressed 24-bpp RIFF/AVI writer (BI_RGB DIB streams:
+    bottom-up rows, 4-byte row padding — the layout any standard tool
+    emits). audio_first=True prepends an 'auds' stream (stream 0) with a
+    WAVEFORMATEX strf and interleaves '00wb' audio chunks, making the
+    video stream '01db' — exercises the strh/strf stream pairing."""
+    import struct
+
+    h, w, _ = frames_bgr[0].shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\0" if len(body) & 1 else b"")
+
+    def lst(listtype, body):
+        return chunk(b"LIST", listtype + body)
+
+    avih = struct.pack("<14I", 40_000, 0, 0, 0, len(frames_bgr), 0, 1,
+                       0, w, h, 0, 0, 0, 0)
+    strh_v = (b"vids" + b"\0" * 4 + struct.pack("<IHHIIIIIIII", *([0] * 11)))
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         stride * h, 0, 0, 0, 0)
+    strls = lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+    vid_ch = b"00"
+    if audio_first:
+        strh_a = (b"auds" + b"\0" * 4
+                  + struct.pack("<IHHIIIIIIII", *([0] * 11)))
+        strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strls = lst(b"strl", chunk(b"strh", strh_a)
+                    + chunk(b"strf", strf_a)) + strls
+        vid_ch = b"01"
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = b""
+    for fr in frames_bgr:
+        if audio_first:
+            movi += chunk(b"00wb", b"\x11\x22" * 64)
+        dib = b"".join(
+            fr[y].tobytes() + b"\0" * (stride - w * 3)
+            for y in range(h - 1, -1, -1))  # bottom-up
+        movi += chunk(vid_ch + b"db", dib)
+    body = b"AVI " + hdrl + lst(b"movi", movi)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synthetic_av_rows(n_audio: int = 12, n_video: int = 12,
+                      seed: int = 42) -> list[tuple]:
+    """Deterministic REAL WAV + uncompressed-AVI payload rows (asset_id,
+    media_type, payload bytes, meta) — the fixture corpus behind the
+    multimodal_real_decode driver query and its golden
+    (tools/make_av_golden.py). Parameters vary per asset so widths,
+    frame counts, envelopes and stream layouts all differ; odd-indexed
+    AVIs are audio-first two-stream files (stream pairing exercised on
+    the driver path, not just in pytest)."""
+    rows = []
+    for i in range(n_audio):
+        wav = make_wav_bytes(
+            freq_hz=220.0 * (1 + (seed + i) % 5),
+            n_frames=800 + 160 * i,
+            loud_frac=(1 + i % 4) / 8.0)
+        rows.append((f"wav_{i:04d}", "audio", bytearray(wav),
+                     {"source": f"synthetic-av:{seed}"}))
+    for i in range(n_video):
+        w = 6 + 2 * (i % 3)
+        h = 4 + 2 * (i % 2)
+        n_frames = 3 + (seed + i) % 4
+        frames = [
+            np.full((h, w, 3), (37 * i + 53 * f + seed) % 256, dtype=np.uint8)
+            for f in range(n_frames)
+        ]
+        avi = make_avi_bytes(frames, audio_first=bool(i % 2))
+        rows.append((f"avi_{i:04d}", "video", bytearray(avi),
+                     {"source": f"synthetic-av:{seed}"}))
+    return rows
+
+
+def synthetic_av_assets(spark, n_audio: int = 12, n_video: int = 12,
+                        seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(
+        synthetic_av_rows(n_audio, n_video, seed), ASSET_SCHEMA)
+
+
 def synthetic_assets(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake asset table for tests. Payload is the ASCII
     hexdigest repeated 4x (not raw digest bytes) so the DuckDB correctness

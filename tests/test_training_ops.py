@@ -268,6 +268,64 @@ def test_minhash_identical_doc_skew_collapses(spark):
     assert not any(b == 10_001 or a == 10_001 for a, b in out)
 
 
+def _reconstruct_pairs(group_rows):
+    """Rebuild the all-pairs set from a group-mode result: cross pairs =
+    rep_pair x member expansion, within pairs = member pairs of groups
+    whose member score is non-null."""
+    members, wscore, rep_pairs = {}, {}, []
+    for r in group_rows:
+        if r.record_type == "member":
+            members.setdefault(r.id_a, []).append(r.id_b)
+            if r.score is not None:
+                wscore[r.id_a] = r.score
+        else:
+            rep_pairs.append((r.id_a, r.id_b, r.score))
+    pairs = {}
+    for ra, rb, s in rep_pairs:
+        for x in members[ra]:
+            for y in members[rb]:
+                pairs[(min(x, y), max(x, y))] = s
+    for rep, sc in wscore.items():
+        ms = sorted(members[rep])
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs[(ms[i], ms[j])] = sc
+    return pairs
+
+
+def test_dedup_group_mode_linear_and_reconstructs(spark):
+    """VERDICT r3 #4: as_groups=True emits O(reps + docs) rows on a
+    clone-heavy corpus (not O(clone^2) pairs) and the full pair set —
+    values included — reconstructs exactly from the group form."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        minhash_lsh_pairs, simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"
+    rows = ([(i, base) for i in range(40)]
+            + [(100 + i, near) for i in range(25)]
+            + [(200, "totally different words entirely here now"),
+               (201, "unrelated content of another flavor altogether")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # 780 within-base + 300 within-near + 1000 cross
+    assert len(pairs) == 2080
+    grp = minhash_lsh_pairs(docs, threshold=0.5, as_groups=True).collect()
+    assert len(grp) <= len(rows) + 5  # linear: members + rep pairs
+    assert _reconstruct_pairs(grp) == pairs
+
+    spairs = {(r.doc_a, r.doc_b): float(r.hamming)
+              for r in simhash_near_dup_pairs(docs, max_hamming=12).collect()}
+    sgrp = simhash_near_dup_pairs(docs, max_hamming=12,
+                                  as_groups=True).collect()
+    assert len(sgrp) <= len(rows) + 5
+    assert _reconstruct_pairs(sgrp) == spairs
+    assert len(spairs) >= 780 + 300  # clone groups all pair at hamming 0
+
+
 def test_real_audio_decode_wav(spark):
     """VERDICT r2 #5: real WAV decode via stdlib wave — width carries the
     sample rate, height the channel count, n_frames the PCM frame count,
@@ -426,6 +484,16 @@ def test_avi_audio_first_stream_pairing(spark):
     mixed, plain = out["av_mixed"], out["av_plain"]
     assert (mixed.width, mixed.height, mixed.n_frames) == (w, h, 5)
     assert mixed.feature == plain.feature
+
+    # the package's own writer (behind the multimodal_real_decode driver
+    # query) emits the same byte layout as this test's independent writer
+    from legal_knowledge_graph_spark.operators.multimodal import (
+        make_avi_bytes,
+    )
+
+    assert make_avi_bytes(frames) == _make_avi(frames)
+    assert make_avi_bytes(frames, audio_first=True) == \
+        _make_avi(frames, audio_first=True)
 
 
 def test_emb_near_dup_dim_param_skips_probe_job(spark):
