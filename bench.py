@@ -69,6 +69,9 @@ def main() -> None:
         "doc_boilerplate", "doc_exact_dedup",
         "doc_minhash_dedup", "doc_simhash_dedup", "emb_cosine_topk",
         "emb_knn_lsh",
+        # round-4 additions: two-phase stratified mixing, decontamination
+        # semi-join, IVF ANN (KMeans fit included)
+        "doc_stratified_sample", "doc_decontaminate", "emb_knn_ivf",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -17,6 +17,8 @@ whose fingerprint chain is unchanged.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,21 +51,40 @@ class KGPipeline:
         use_lsh: bool | str = "auto",
         bucket_by_repo: int | None = None,
         run_id: str = "r0",
+        stage_format: str | None = None,
     ):
         self.spark = spark
         self.store = StageStore(checkpoint_root) if checkpoint_root else None
         self.use_lsh = use_lsh
         self.bucket_by_repo = bucket_by_repo
         self.run_id = run_id
+        # in-memory-mode materialization for multi-consumer stage outputs:
+        # 'checkpoint' = localCheckpoint (row-serialized blocks, lz4 via
+        # spark.rdd.compress); 'parquet' = columnar scratch round-trip —
+        # the A/B lever for the single-box 8->32 bandwidth term
+        # (VERDICT r3 #8). Env override so bench_scaling children switch
+        # without code edits.
+        self.stage_format = stage_format or os.environ.get(
+            "SPARK_GRAFT_STAGE_FORMAT", "checkpoint")
+        self._scratch: str | None = None
+
+    def _materialize(self, name: str, df: DataFrame) -> DataFrame:
+        if self.stage_format == "parquet":
+            if self._scratch is None:
+                self._scratch = tempfile.mkdtemp(prefix="lkg_stage_")
+            path = os.path.join(self._scratch, name)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint()
 
     def _stage(self, name: str, fp: str, build, reused: bool = False) -> DataFrame:
         """Checkpointed mode: parquet stage table + manifest skip. In-memory
         mode: stage outputs consumed by >1 downstream branch are
-        localCheckpoint'ed so the extraction UDFs run once, not once per
-        branch (reused=True)."""
+        materialized (see _materialize) so the extraction UDFs run once,
+        not once per branch (reused=True)."""
         if self.store is None:
             df = build()
-            return df.localCheckpoint() if reused else df
+            return self._materialize(name, df) if reused else df
         if self.store.is_complete(name, fp):
             return self.store.read(self.spark, name)
         return self.store.write(name, build(), fp)
@@ -89,7 +110,7 @@ class KGPipeline:
                 nodes = self.store.write("st3_nodes", nodes, fp3)
                 form_map = self.store.write("st3_form_map", form_map, fp3)
             else:
-                nodes = nodes.localCheckpoint()  # used by coref + caller
+                nodes = self._materialize("st3_nodes", nodes)  # coref + caller
 
         fp4 = fingerprint(fp2, "triples")
         # reused=True: normalize_edges' hits/misses predicate split consumes

@@ -3,11 +3,13 @@ applyInPandasWithState (task brief §streaming: "applyInPandasWithState
 for custom stateful operators").
 
 A session is a maximal run of a user's events with inter-event gaps below
-`gap`. State per user = the open session (start, last_ts, n). A session is
-emitted when a later event opens a new one, or when the event-time
-watermark passes last_ts + gap (EventTimeTimeout) — so state is bounded by
-the watermark exactly like a windowed aggregation, and sessions still open
-at drain end are (correctly) not final and not emitted.
+`gap`. State per user = ALL intervals the watermark has not sealed yet
+(parallel start/last/count arrays). An interval is emitted exactly when
+the event-time watermark passes its end + gap — via the data path or an
+EventTimeTimeout — so state is bounded by the watermark like a windowed
+aggregation, emission order is watermark-correct (no premature close of
+earlier late-opened sessions — ADVICE r3), and sessions still open at
+drain end are (correctly) not final and not emitted.
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    IntegerType, LongType, StructField, StructType, TimestampType,
+    ArrayType, IntegerType, LongType, StructField, StructType, TimestampType,
 )
 
 OUTPUT_SCHEMA = StructType([
@@ -29,11 +31,17 @@ OUTPUT_SCHEMA = StructType([
     StructField("n_events", IntegerType(), False),
 ])
 
-# state: (session_start_epoch_us, last_ts_epoch_us, n_events)
+# state: ALL intervals the watermark has not yet sealed, as parallel
+# arrays (start_epoch_us, last_epoch_us, n_events) — ADVICE r3: keeping a
+# LIST of open intervals (not just the time-wise last) lets
+# watermark-admitted late events arriving across micro-batches merge with
+# earlier intervals instead of those being closed prematurely. State stays
+# bounded by the watermark: an interval leaves state as soon as
+# watermark > end + gap, exactly like a windowed aggregation.
 STATE_SCHEMA = StructType([
-    StructField("start_us", LongType(), True),
-    StructField("last_us", LongType(), True),
-    StructField("n", IntegerType(), True),
+    StructField("starts", ArrayType(LongType()), True),
+    StructField("lasts", ArrayType(LongType()), True),
+    StructField("ns", ArrayType(IntegerType()), True),
 ])
 
 GAP_MINUTES = 30
@@ -50,46 +58,48 @@ def _ts(us: int):
 def sessionize_fn(gap_minutes: int = GAP_MINUTES):
     gap_us = gap_minutes * 60 * 1_000_000
 
+    gap_ms = gap_minutes * 60_000
+
     def fn(key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
            ) -> Iterator[pd.DataFrame]:
+        # Interval-merge sessionization over a LIST of open intervals
+        # (ADVICE r2 + r3): every open interval and every new event is an
+        # interval; sort by start, sweep-merge on gap adjacency, then emit
+        # ONLY intervals the watermark has sealed (watermark > end + gap —
+        # nothing the stream can still admit could attach to them). The
+        # rest stay in state, so two watermark-admitted late events that
+        # land in separate micro-batches within gap of each other merge
+        # into one session instead of the first closing prematurely.
         (user_id,) = key
-        closed: list[tuple] = []
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            closed.append((user_id, _ts(start_us), _ts(last_us), n))
-            state.remove()
-        else:
-            # Interval-merge sessionization (ADVICE r2): the open session is
-            # one interval [start, last] x count, every event a point
-            # interval; sort all by start and sweep-merge on gap adjacency.
-            # Watermark-admitted events that arrive in a LATER micro-batch
-            # with t < start then extend the session backward (within gap)
-            # or form their own earlier session (beyond gap) instead of
-            # being silently absorbed. All but the time-wise LAST interval
-            # are final (nothing later can attach to them through the open
-            # session); the last stays open in state.
-            items: list[list] = []
-            if state.exists:
-                s0, l0, n0 = state.get
-                items.append([s0, l0, n0])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        items: list[list] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            items.extend([s, l, n] for s, l, n in zip(starts, lasts, ns))
+        if not state.hasTimedOut:
             for pdf in pdfs:
                 items.extend([_us(t), _us(t), 1] for t in pdf["ts"])
-            items.sort(key=lambda x: (x[0], x[1]))
-            merged: list[list] = []
-            for it in items:
-                if merged and it[0] - merged[-1][1] <= gap_us:
-                    merged[-1][1] = max(merged[-1][1], it[1])
-                    merged[-1][2] += it[2]
-                else:
-                    merged.append(it)
-            for s, l, n in merged[:-1]:
-                closed.append((user_id, _ts(s), _ts(l), n))
-            if merged:
-                s, l, n = merged[-1]
-                state.update((s, l, n))
-                # close via event-time timeout once the watermark passes
-                # the session end + gap
-                state.setTimeoutTimestamp(l // 1000 + gap_minutes * 60_000)
+        items.sort(key=lambda x: (x[0], x[1]))
+        merged: list[list] = []
+        for it in items:
+            if merged and it[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], it[1])
+                merged[-1][2] += it[2]
+            else:
+                merged.append(it)
+        closed = [(user_id, _ts(s), _ts(l), n)
+                  for s, l, n in merged if l + gap_us < wm_us]
+        keep = [iv for iv in merged if iv[1] + gap_us >= wm_us]
+        if keep:
+            state.update(([iv[0] for iv in keep], [iv[1] for iv in keep],
+                          [iv[2] for iv in keep]))
+            # wake once the watermark can seal the EARLIEST kept interval;
+            # must sit strictly above the current watermark
+            state.setTimeoutTimestamp(
+                max(min(iv[1] for iv in keep) // 1000 + gap_ms,
+                    wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             closed, columns=["user_id", "session_start", "session_end",
                              "n_events"])

@@ -296,3 +296,55 @@ def test_sessionization_cross_batch_late_events(spark, tmp_path):
         tuple(r) for r in sessionize_batch(all_events, gap_minutes=30).collect()
         if r.session_end + 30 * m < final_wm)
     assert streamed == closeable
+
+
+def test_sessionization_two_late_events_merge_across_batches(spark, tmp_path):
+    """ADVICE r3: two watermark-admitted late events EARLIER than the open
+    session, arriving in separate micro-batches, within gap of each other —
+    the first must stay open in state (watermark has not sealed it) so the
+    second merges into one session, exactly as the batch oracle does."""
+    import datetime
+
+    from legal_knowledge_graph_spark.streaming import (
+        run_sessionize, sessionize_batch,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, user, minutes):
+        return (i, base + datetime.timedelta(minutes=minutes), user, "click",
+                1.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    # b1: session [600] opens; watermark after b1 = 600-120 = 480
+    b1 = [ev(0, 1, 600)]
+    # b2: late 485 (admitted, 600-485 > gap -> own earlier interval); the
+    # old single-open-interval impl closed [485] HERE, prematurely
+    b2 = [ev(1, 1, 485)]
+    # b3: late 500 — within gap of 485, must merge to [485,500]x2;
+    # sentinel pushes the final watermark to 2880 and seals everything
+    b3 = [ev(2, 1, 500), ev(3, 99, 3000)]
+
+    landing = str(tmp_path / "ll")
+    out = str(tmp_path / "lo")
+    ckpt = str(tmp_path / "lc")
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(landing)
+        run_sessionize(spark, landing, out, ckpt, gap_minutes=30,
+                       watermark="2 hours")
+
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    m = datetime.timedelta(minutes=1)
+    want = sorted([
+        (1, base + 485 * m, base + 500 * m, 2),
+        (1, base + 600 * m, base + 600 * m, 1),
+    ])
+    assert streamed == want
+    all_events = spark.createDataFrame(b1 + b2 + b3, schema)
+    final_wm = base + (3000 - 120) * m
+    closeable = sorted(
+        tuple(r) for r in sessionize_batch(all_events, gap_minutes=30).collect()
+        if r.session_end + 30 * m < final_wm)
+    assert streamed == closeable
