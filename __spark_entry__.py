@@ -520,6 +520,23 @@ def doc_stratified_sample(spark, sf_dir):
     return bern.unionByName(topk)
 
 
+def doc_filter_chain(spark, sf_dir):
+    """C4/RefinedWeb-style composite pretraining filter
+    (text_analysis.pretraining_filter): language + quality + repetition +
+    length + domain blocklist, all in one zero-shuffle projection. The
+    oracle restates every check over the shared doc_quality /
+    doc_lang_id / doc_repetition SQL fragments and joins the reasons with
+    the same fixed-order concat_ws."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        pretraining_filter,
+    )
+
+    return pretraining_filter(
+        _t(spark, sf_dir, "documents"), allowed_langs=("en", "de"),
+        min_quality=0.5, max_dup_3gram_frac=0.3, min_chars=100,
+        blocked_sources=("src13", "src7"))
+
+
 def doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al.) exploded to (doc_id, pick)
     rows — exploded so the oracle compares scalar rows, not array renderings."""
@@ -615,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition,
         "doc_decontaminate": doc_decontaminate,
         "doc_stratified_sample": doc_stratified_sample,
+        "doc_filter_chain": doc_filter_chain,
         "doc_winnow": doc_winnow,
         "frames_sampled": frames_sampled,
         "kg_type_normalization": kg_type_normalization,
@@ -1134,6 +1152,55 @@ WITH h AS (
 SELECT * FROM bern
 UNION ALL
 SELECT doc_id, 'exact_k' AS method FROM rk WHERE rk <= 25""",
+        # verbatim restatement of text_analysis.pretraining_filter: the
+        # shared doc_quality / doc_lang_id / doc_repetition formulas feed
+        # fixed-order CASE checks joined with concat_ws (NULLs skipped on
+        # both engines); kept = (reasons = '')
+        "doc_filter_chain": f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, greatest(len(w) - 2, 0) AS n_g FROM toks
+), g AS (
+  SELECT doc_id,
+         count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS n_dg
+  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  GROUP BY doc_id
+), rep AS (
+  SELECT b.doc_id,
+         CASE WHEN n_g > 0
+              THEN 1.0 - CAST(COALESCE(g.n_dg, 0) AS DOUBLE) / n_g
+              ELSE 0.0 END AS dup3
+  FROM base b LEFT JOIN g USING (doc_id)
+), sc AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+    0.4 * least(1.0, length(text) / 500.0)
+      + 0.3 * (1.0 - least(1.0, 4.0 * (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1)))
+      + 0.3 * least(1.0, 5.0 * ({_QUALITY_HITS}) / 10.0) AS q,
+    CASE WHEN ({_EN}) >= ({_DE}) AND ({_EN}) >= ({_FR}) AND ({_EN}) >= 2 THEN 'en'
+         WHEN ({_DE}) >= ({_FR}) AND ({_DE}) >= 2 THEN 'de'
+         WHEN ({_FR}) >= 2 THEN 'fr'
+         ELSE 'unknown' END AS plang
+  FROM documents
+), r AS (
+  SELECT sc.doc_id,
+    concat_ws(',',
+      CASE WHEN NOT plang IN ('en', 'de') THEN 'lang' END,
+      CASE WHEN q < 0.5 THEN 'quality' END,
+      CASE WHEN dup3 > 0.3 THEN 'repetition' END,
+      CASE WHEN n_chars < 100 THEN 'too_short' END,
+      CASE WHEN n_chars > 100000 THEN 'too_long' END,
+      CASE WHEN source IN ('src13', 'src7') THEN 'blocked_source' END
+    ) AS reasons,
+    round(q, 6) AS quality_score, plang AS predicted_lang,
+    round(dup3, 6) AS dup_3gram_frac
+  FROM sc JOIN rep USING (doc_id)
+)
+SELECT doc_id, reasons = '' AS kept, reasons, quality_score,
+       predicted_lang, dup_3gram_frac
+FROM r""",
         "doc_winnow": _WINNOW_SQL,
         "frames_sampled": _FRAMES_SQL,
         "events_sessions": """

@@ -72,6 +72,7 @@ def main() -> None:
         # round-4 additions: two-phase stratified mixing, decontamination
         # semi-join, IVF ANN (KMeans fit included)
         "doc_stratified_sample", "doc_decontaminate", "emb_knn_ivf",
+        "doc_filter_chain",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -39,14 +39,10 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation-ratio / stopword-ratio quality score in [0,1].
-
-    score = 0.4 * min(1, n_chars/500)            (enough substance)
-          + 0.3 * (1 - min(1, 4*punct_ratio))     (not symbol soup)
-          + 0.3 * min(1, 5*stopword_hit_ratio)    (looks like language)
-    """
-    t = F.col(text_col)
+def _quality_exprs(t):
+    """(n_chars, punct_ratio, stop_ratio, score) column expressions —
+    shared by quality_scores and pretraining_filter so the filter chain
+    stays a single projection (one scan, zero joins)."""
     padded = F.concat(F.lit(" "), t, F.lit(" "))
     n_chars = F.length(t)
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
@@ -61,6 +57,17 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.3 * (1.0 - F.least(F.lit(1.0), 4.0 * punct_ratio))
         + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio)
     )
+    return n_chars, punct_ratio, stop_ratio, score
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality score in [0,1].
+
+    score = 0.4 * min(1, n_chars/500)            (enough substance)
+          + 0.3 * (1 - min(1, 4*punct_ratio))     (not symbol soup)
+          + 0.3 * min(1, 5*stopword_hit_ratio)    (looks like language)
+    """
+    n_chars, punct_ratio, stop_ratio, score = _quality_exprs(F.col(text_col))
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -70,17 +77,19 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """N-gram/stopword language heuristic: count closed-set stopword hits
-    per candidate language, argmax with >=2 threshold else 'unknown'."""
-    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
-    wordsets = {
-        "en": EN_STOPWORDS,
-        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
-        "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans"],
-    }
+LANG_WORDSETS = {
+    "en": EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans"],
+}
+
+
+def _lang_exprs(t):
+    """(per-language hit-count scores dict, predicted_lang expression) —
+    shared by language_id and pretraining_filter."""
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
     scores = {}
-    for lang, words in wordsets.items():
+    for lang, words in LANG_WORDSETS.items():
         s = None
         for w in words:
             h = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
@@ -93,6 +102,13 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(scores["fr"] >= 2, F.lit("fr"))
         .otherwise(F.lit("unknown"))
     )
+    return scores, pred
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language heuristic: count closed-set stopword hits
+    per candidate language, argmax with >=2 threshold else 'unknown'."""
+    scores, pred = _lang_exprs(F.col(text_col))
     return docs.select(
         "doc_id", scores["en"].alias("en_hits"), scores["de"].alias("de_hits"),
         scores["fr"].alias("fr_hits"), pred.alias("predicted_lang"),
@@ -204,17 +220,16 @@ def remove_boilerplate(docs: DataFrame, boiler: DataFrame | None = None,
     )
 
 
-def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Gopher-style within-document repetition metrics: fraction of
-    duplicated words and duplicated 3-grams (high values flag looping /
-    boilerplate-generated text, a standard pretraining quality filter).
-
-    Scale shape: scalar array expressions only (split, array_distinct,
-    zip-shift gram construction with O(1) element_at pulls) — one scan,
-    zero shuffle, embarrassingly parallel."""
-    K = 3
-    words = F.split(
+def _split_words(text_col: str):
+    return F.split(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+
+
+def _repetition_exprs():
+    """(n_words, n_distinct_words, n_3grams, n_distinct_3grams) column
+    expressions over a `_w` words column (attach with _split_words) —
+    shared by repetition_scores and pretraining_filter."""
+    K = 3
     w = F.col("_w")
     n = F.size(w)
     grams = F.when(n >= K, F.transform(
@@ -226,7 +241,19 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_dw = F.size(F.array_distinct(w)).cast("long")
     n_g = F.greatest(n - (K - 1), F.lit(0)).cast("long")
     n_dg = F.size(F.array_distinct(grams)).cast("long")
-    return docs.withColumn("_w", words).select(
+    return n_words, n_dw, n_g, n_dg
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition metrics: fraction of
+    duplicated words and duplicated 3-grams (high values flag looping /
+    boilerplate-generated text, a standard pretraining quality filter).
+
+    Scale shape: scalar array expressions only (split, array_distinct,
+    zip-shift gram construction with O(1) element_at pulls) — one scan,
+    zero shuffle, embarrassingly parallel."""
+    n_words, n_dw, n_g, n_dg = _repetition_exprs()
+    return docs.withColumn("_w", _split_words(text_col)).select(
         "doc_id",
         n_words.alias("n_words"),
         n_dw.alias("n_distinct_words"),
@@ -237,6 +264,53 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # a doc too short to have 3-grams has nothing repeated
         F.round(F.when(n_g > 0, 1.0 - n_dg / n_g).otherwise(F.lit(0.0)), 6)
          .alias("dup_3gram_frac"),
+    )
+
+
+def pretraining_filter(
+    docs: DataFrame, allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5, max_dup_3gram_frac: float = 0.5,
+    min_chars: int = 50, max_chars: int = 100_000,
+    blocked_sources: tuple[str, ...] = (), source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style composite document filter — the chain every
+    pretraining pipeline runs (language, quality, repetition, length,
+    domain blocklist) — in ONE projection over ONE scan: all checks are
+    scalar column expressions (shared with language_id / quality_scores /
+    repetition_scores), so there is zero shuffle and no join, where the
+    naive compose-the-operators form pays three doc_id-keyed joins.
+
+    Returns doc_id, kept, reasons (comma-joined failed-check names in
+    fixed order: lang, quality, repetition, too_short, too_long,
+    blocked_source — empty string = kept), plus the diagnostic scores.
+    Filters on UNROUNDED values (oracle parity); reported columns rounded.
+    """
+    t = F.col(text_col)
+    n_chars, _punct, _stop, score = _quality_exprs(t)
+    _scores, pred = _lang_exprs(t)
+    _nw, _ndw, n_g, n_dg = _repetition_exprs()
+    dup3 = F.when(n_g > 0, 1.0 - n_dg / n_g).otherwise(F.lit(0.0))
+    checks = [
+        ("lang", ~pred.isin(*allowed_langs)),
+        ("quality", score < F.lit(float(min_quality))),
+        ("repetition", dup3 > F.lit(float(max_dup_3gram_frac))),
+        ("too_short", n_chars < F.lit(min_chars)),
+        ("too_long", n_chars > F.lit(max_chars)),
+    ]
+    if blocked_sources:
+        checks.append(
+            ("blocked_source", F.col(source_col).isin(*blocked_sources)))
+    # concat_ws skips NULLs, so un-failed checks vanish and order is fixed
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks])
+    return docs.withColumn("_w", _split_words(text_col)).select(
+        "doc_id",
+        (reasons == "").alias("kept"),
+        reasons.alias("reasons"),
+        F.round(score, 6).alias("quality_score"),
+        pred.alias("predicted_lang"),
+        F.round(dup3, 6).alias("dup_3gram_frac"),
     )
 
 

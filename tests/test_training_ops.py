@@ -704,6 +704,47 @@ def test_exact_k_two_phase_caps_stratum_exchange(spark):
     assert got2 == got
 
 
+def test_pretraining_filter_chain(spark):
+    """Composite C4-style filter: reasons compose in fixed order, kept is
+    their conjunction, and the whole chain is ONE projection — zero
+    Exchange in the executed plan (no joins between the sub-scores)."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        pretraining_filter,
+    )
+
+    good = ("the quick brown fox jumps over a lazy dog and it runs far "
+            "away to green hills for it is chased by an old farmer while "
+            "birds watch from tall trees near that winding river in early "
+            "morning light as the village slowly wakes behind them")
+    rows = [
+        (0, good, "src_ok"),                       # passes everything
+        (1, good, "src_bad"),                      # blocked source only
+        (2, "der hund und die katze", "src_ok"),   # german + short + quality
+        (3, ("spam ham " * 40).strip(), "src_ok"),  # repetition (+quality)
+        (4, "xy", "src_ok"),                       # short + quality + lang
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in pretraining_filter(
+        docs, allowed_langs=("en",), min_quality=0.5,
+        max_dup_3gram_frac=0.5, min_chars=30,
+        blocked_sources=("src_bad",)).collect()}
+    assert out[0].kept and out[0].reasons == ""
+    assert out[1].reasons == "blocked_source" and not out[1].kept
+    assert out[2].reasons.startswith("lang") and "too_short" in out[2].reasons
+    assert "repetition" in out[3].reasons and out[3].dup_3gram_frac > 0.9
+    assert out[4].reasons.split(",")[0] == "lang" and "too_short" in out[4].reasons
+    # every reason list respects the fixed check order
+    order = ["lang", "quality", "repetition", "too_short", "too_long",
+             "blocked_source"]
+    for r in out.values():
+        names = [x for x in r.reasons.split(",") if x]
+        assert names == sorted(names, key=order.index)
+        assert r.kept == (not names)
+
+    plan = pretraining_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one scan, zero shuffle, no joins
+
+
 def test_repetition_scores(spark):
     from legal_knowledge_graph_spark.operators.text_analysis import (
         repetition_scores,
