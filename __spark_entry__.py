@@ -299,6 +299,21 @@ def doc_simhash_dedup(spark, sf_dir):
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def doc_dedup_keep(spark, sf_dir):
+    """Terminal keep-one dedup (dedup.deduplicate_corpus): identical docs
+    always merge, near-dups merge at 0.5 Jaccard, clusters collapse via
+    large-star/small-star connected components, min doc_id keeps. Oracle:
+    recursive-CTE closure over (exact ngram-Jaccard pairs >= 0.5 UNION
+    identical-fingerprint pairs) with min-reachable labeling — the
+    member-to-rep attach plus rep-graph closure is provably the same
+    partition."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        deduplicate_corpus,
+    )
+
+    return deduplicate_corpus(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def emb_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.5, dim=64)
@@ -621,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_minhash_dedup": doc_minhash_dedup,
         "doc_simhash_dedup": doc_simhash_dedup,
+        "doc_dedup_keep": doc_dedup_keep,
         "emb_near_dup": emb_near_dup,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_lsh": emb_knn_lsh,
@@ -1002,6 +1018,32 @@ SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS rep_doc_id,
        count(*) AS n_docs
 FROM documents GROUP BY 1""",
         "doc_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # keep-one dedup: closure over (exact pairs >= 0.5 UNION identical
+        # fingerprints), min-reachable labeling (see doc_dedup_keep)
+        "doc_dedup_keep": _SHINGLES_CTE.replace(
+            "WITH toks", "WITH RECURSIVE toks", 1) + f"""
+, pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), fp AS (
+  SELECT doc_id, md5({_NORM}) AS f FROM documents
+), fpe AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+), bi AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_a, doc_b FROM fpe
+  UNION SELECT doc_b, doc_a FROM fpe
+), reach(t, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT bi.d, reach.r FROM reach JOIN bi ON bi.s = reach.t
+)
+SELECT t AS doc_id, min(r) AS group_rep, t = min(r) AS keep
+FROM reach GROUP BY t""",
         # MinHash-LSH candidates + exact verify: a full-recall subset of the
         # exact path on this corpus (verified at every sf), same values —
         # so the SAME oracle is a hard rows+hash check, not a weaker bound.

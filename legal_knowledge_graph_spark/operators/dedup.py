@@ -477,6 +477,44 @@ EMB_LSH_PLANES = 4
 EMB_LSH_TABLES = 16
 
 
+def deduplicate_corpus(
+    docs: DataFrame, threshold: float = 0.8, text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Terminal keep-one dedup — the materialization every pretraining
+    pipeline actually wants (the cleaned corpus, not a pair list):
+    byte-identical documents always merge (fingerprint groups), near-dups
+    merge at `threshold` (MinHash-LSH + exact verify), merged clusters
+    collapse via connected components, and the component's minimum doc_id
+    is the keeper.
+
+    Scale shape: the near-dup graph is built at REP level (group-mode
+    minhash — O(rep pairs) edges, clone counts never expand), components
+    run over rep ids only (large-star/small-star, component = min id),
+    and members attach back by one equi-join — so a 1M-clone group costs
+    one CC vertex and 10^6 join rows, never 5*10^11 pairs.
+
+    Returns (doc_id, group_rep, keep): group_rep = min doc_id of the
+    document's duplicate cluster (= itself for uniques), keep = this doc
+    IS the cluster representative. `docs.join(out.where("keep"),
+    "doc_id", "left_semi")` is the deduplicated corpus."""
+    from .components import connected_components
+
+    grp = minhash_lsh_pairs(docs, threshold, text_col, as_groups=True,
+                            **kwargs)
+    members = grp.where(F.col("record_type") == "member").select(
+        F.col("id_a").alias("rep"), F.col("id_b").alias("doc_id"))
+    rep_pairs = grp.where(F.col("record_type") == "rep_pair").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(rep_pairs)
+    labeled = members.join(comp, members["rep"] == comp["id"], "left").select(
+        "doc_id", F.coalesce(comp["component"], members["rep"])
+        .alias("group_rep"))
+    return labeled.select(
+        "doc_id", "group_rep",
+        (F.col("doc_id") == F.col("group_rep")).alias("keep"))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95,
     n_planes: int = EMB_LSH_PLANES, n_tables: int = EMB_LSH_TABLES,

@@ -326,6 +326,35 @@ def test_dedup_group_mode_linear_and_reconstructs(spark):
     assert len(spairs) >= 780 + 300  # clone groups all pair at hamming 0
 
 
+def test_deduplicate_corpus_keep_one(spark):
+    """Terminal keep-one dedup: the base+near clone cluster (40 + 25 docs,
+    jaccard 8/9) collapses to ONE keeper (min doc_id), uniques keep
+    themselves, and the kept corpus is exactly the cluster reps."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        deduplicate_corpus,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"
+    rows = ([(i, base) for i in range(40)]
+            + [(100 + i, near) for i in range(25)]
+            + [(200, "totally different words entirely here now"),
+               (201, "unrelated content of another flavor altogether")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           deduplicate_corpus(docs, threshold=0.5).collect()}
+    assert len(out) == len(rows)
+    keepers = {d for d, r in out.items() if r.keep}
+    assert keepers == {0, 200, 201}
+    # every member of the merged cluster points at doc 0
+    assert all(out[i].group_rep == 0 for i in list(range(40))
+               + [100 + i for i in range(25)])
+    kept_corpus = docs.join(
+        deduplicate_corpus(docs, threshold=0.5).where("keep"),
+        "doc_id", "left_semi")
+    assert sorted(r.doc_id for r in kept_corpus.collect()) == [0, 200, 201]
+
+
 def test_real_audio_decode_wav(spark):
     """VERDICT r2 #5: real WAV decode via stdlib wave — width carries the
     sample rate, height the channel count, n_frames the PCM frame count,
