@@ -90,6 +90,19 @@ def main() -> None:
     check("emb_near_dup no-cartesian", p,
           must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
 
+    # round-4 ops: the filter chain must stay a single zero-shuffle
+    # projection; stratified sampling and keep-one dedup must never go
+    # nested-loop/cartesian
+    p = plan_of(E.doc_filter_chain(spark, sf_dir))
+    check("doc_filter_chain zero-shuffle", p,
+          must_not=("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"))
+    p = plan_of(E.doc_stratified_sample(spark, sf_dir))
+    check("doc_stratified_sample no-cartesian", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
+    p = plan_of(E.doc_dedup_keep(spark, sf_dir))
+    check("doc_dedup_keep no-cartesian", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
+
     # dedup pair generators (VERDICT r2 #8): every candidate stage must be
     # an equi-join on blocking keys — no nested-loop/cartesian anywhere —
     # and the shuffle count must stay at the designed number (an Exchange
