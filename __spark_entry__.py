@@ -319,6 +319,20 @@ def emb_near_dup(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.5, dim=64)
 
 
+def emb_dedup_keep(spark, sf_dir):
+    """SemDeDup-style semantic keep-one dedup
+    (dedup.deduplicate_embeddings): cosine >= 0.5 clusters collapse via
+    connected components, min vec_id keeps. Oracle: recursive closure
+    over the exact all-pairs cosine SQL (the emb_near_dup pair set is
+    exact — full LSH recall verified offline), min-reachable labeling."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        deduplicate_embeddings,
+    )
+
+    return deduplicate_embeddings(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, dim=64)
+
+
 # --- similarity search ------------------------------------------------------
 def emb_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
@@ -638,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_dedup": doc_simhash_dedup,
         "doc_dedup_keep": doc_dedup_keep,
         "emb_near_dup": emb_near_dup,
+        "emb_dedup_keep": emb_dedup_keep,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_lsh": emb_knn_lsh,
         "emb_knn_ivf": emb_knn_ivf,
@@ -1318,6 +1333,24 @@ WITH pairs AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.5""",
+        # semantic keep-one: closure over exact cosine >= 0.5 pairs,
+        # min-reachable labeling (see emb_dedup_keep)
+        "emb_dedup_keep": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.5
+), bi AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(t, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT bi.d, reach.r FROM reach JOIN bi ON bi.s = reach.t
+)
+SELECT t AS vec_id, min(r) AS group_rep, t = min(r) AS keep
+FROM reach GROUP BY t""",
         "emb_cosine_topk": _TOPK_SQL,
         # ANN with deterministic full top-10 coverage on this corpus (see
         # emb_knn_lsh docstring) -> the exact top-k IS its oracle.

@@ -567,6 +567,33 @@ def embedding_near_dup_pairs(
     )
 
 
+def deduplicate_embeddings(
+    embeddings: DataFrame, threshold: float = 0.95,
+    n_planes: int = EMB_LSH_PLANES, n_tables: int = EMB_LSH_TABLES,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic keep-one dedup over an embedding column:
+    cosine >= threshold pairs (LSH-blocked + exact verify), clusters via
+    large-star/small-star connected components, min vec_id keeps — the
+    embedding-space analog of deduplicate_corpus, used by pretraining
+    pipelines to drop semantic near-copies that text dedup misses.
+
+    Returns (vec_id, group_rep, keep)."""
+    from .components import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold, n_planes, n_tables, dim=dim)
+    comp = connected_components(pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    ids = embeddings.select("vec_id")
+    labeled = ids.join(comp, ids["vec_id"] == comp["id"], "left").select(
+        "vec_id",
+        F.coalesce(comp["component"], ids["vec_id"]).alias("group_rep"))
+    return labeled.select(
+        "vec_id", "group_rep",
+        (F.col("vec_id") == F.col("group_rep")).alias("keep"))
+
+
 def embedding_near_dup_exact(
     embeddings: DataFrame, threshold: float = 0.95,
 ) -> DataFrame:

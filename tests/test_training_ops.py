@@ -355,6 +355,30 @@ def test_deduplicate_corpus_keep_one(spark):
     assert sorted(r.doc_id for r in kept_corpus.collect()) == [0, 200, 201]
 
 
+def test_deduplicate_embeddings_keep_one(spark):
+    """SemDeDup-style semantic keep-one: a cluster of near-identical
+    vectors collapses to its min vec_id; orthogonal vectors keep
+    themselves."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        deduplicate_embeddings,
+    )
+
+    dim = 16
+    base = np.zeros(dim); base[0] = 1.0
+    rows = []
+    for i in range(6):  # near-identical cluster, ids 0..5
+        v = base.copy(); v[1] = 0.01 * i
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for j in range(3):  # mutually orthogonal singletons, ids 100..102
+        v = np.zeros(dim); v[4 + j] = 1.0
+        rows.append((100 + j, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           deduplicate_embeddings(emb, threshold=0.95, dim=dim).collect()}
+    assert {v for v, r in out.items() if r.keep} == {0, 100, 101, 102}
+    assert all(out[i].group_rep == 0 for i in range(6))
+
+
 def test_real_audio_decode_wav(spark):
     """VERDICT r2 #5: real WAV decode via stdlib wave — width carries the
     sample rate, height the channel count, n_frames the PCM frame count,
