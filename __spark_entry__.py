@@ -299,6 +299,19 @@ def doc_simhash_dedup(spark, sf_dir):
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def doc_minhash_groups(spark, sf_dir):
+    """Group-mode minhash output (as_groups=True) under a hard oracle:
+    rep_pair rows = exact ngram-Jaccard pairs restricted to fingerprint-
+    group representatives; member rows = per-doc rep mapping whose score
+    is the df-capped within-group jaccard n_c/(2*n_sh - n_c) when the
+    group has >=2 docs and clears the threshold, else NULL — all
+    restated verbatim in SQL (df over per-doc-distinct shingles equals
+    the group-weighted rep df because identical docs share shingle
+    sets)."""
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5,
+                             as_groups=True)
+
+
 def doc_dedup_keep(spark, sf_dir):
     """Terminal keep-one dedup (dedup.deduplicate_corpus): identical docs
     always merge, near-dups merge at 0.5 Jaccard, clusters collapse via
@@ -651,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dedup": doc_minhash_dedup,
         "doc_simhash_dedup": doc_simhash_dedup,
         "doc_dedup_keep": doc_dedup_keep,
+        "doc_minhash_groups": doc_minhash_groups,
         "emb_near_dup": emb_near_dup,
         "emb_dedup_keep": emb_dedup_keep,
         "emb_cosine_topk": emb_cosine_topk,
@@ -1064,6 +1078,49 @@ FROM reach GROUP BY t""",
         # so the SAME oracle is a hard rows+hash check, not a weaker bound.
         "doc_minhash_dedup": _NGRAM_JACCARD_SQL,
         "doc_simhash_dedup": _SIMHASH_SQL,
+        # group-mode contract restated: rep pairs = exact pairs between
+        # fingerprint-group reps; member score = capped within-group
+        # jaccard (NULL for singletons / sub-threshold / shingle-less)
+        "doc_minhash_groups": _SHINGLES_CTE + f"""
+, fp AS (
+  SELECT doc_id, md5({_NORM}) AS f FROM documents
+), grp AS (
+  SELECT f, min(doc_id) AS rep, count(*) AS nd FROM fp GROUP BY f
+), rsh AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN grp ON sh.doc_id = grp.rep
+), rsizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id
+), rcapped AS (
+  SELECT doc_id, count(*) AS n_c FROM rsh JOIN rare USING (shingle)
+  GROUP BY doc_id
+), rshb AS (
+  SELECT rsh.doc_id, rsh.shingle FROM rsh JOIN rare USING (shingle)
+), rinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM rshb a JOIN rshb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), rep_pairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+           AS jaccard
+  FROM rinter
+  JOIN rsizes sa ON sa.doc_id = doc_a
+  JOIN rsizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), wg AS (
+  SELECT grp.rep,
+         round(CAST(n_c AS DOUBLE) / (2 * n_sh - n_c), 6) AS s
+  FROM grp
+  JOIN rsizes ON rsizes.doc_id = grp.rep
+  JOIN rcapped ON rcapped.doc_id = grp.rep
+  WHERE nd >= 2 AND CAST(n_c AS DOUBLE) / (2 * n_sh - n_c) >= 0.5
+)
+SELECT 'rep_pair' AS record_type, doc_a AS id_a, doc_b AS id_b,
+       jaccard AS score
+FROM rep_pairs
+UNION ALL
+SELECT 'member', grp.rep, fp.doc_id, wg.s
+FROM fp JOIN grp USING (f) LEFT JOIN wg ON wg.rep = grp.rep""",
         # regexes stay in the Java-regex ∩ RE2 common subset so this is a
         # verbatim restatement (operators/pii.py)
         "doc_pii": r"""
