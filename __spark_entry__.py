@@ -299,6 +299,15 @@ def doc_simhash_dedup(spark, sf_dir):
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def doc_simhash_groups(spark, sf_dir):
+    """Group-mode simhash output (as_groups=True) under a hard oracle:
+    rep pairs computed over DISTINCT signatures (pigeonhole-exact
+    banding), members mapped to their signature group's min-doc rep at
+    hamming 0."""
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"),
+                                  max_hamming=3, as_groups=True)
+
+
 def doc_minhash_groups(spark, sf_dir):
     """Group-mode minhash output (as_groups=True) under a hard oracle:
     rep_pair rows = exact ngram-Jaccard pairs restricted to fingerprint-
@@ -665,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_dedup": doc_simhash_dedup,
         "doc_dedup_keep": doc_dedup_keep,
         "doc_minhash_groups": doc_minhash_groups,
+        "doc_simhash_groups": doc_simhash_groups,
         "emb_near_dup": emb_near_dup,
         "emb_dedup_keep": emb_dedup_keep,
         "emb_cosine_topk": emb_cosine_topk,
@@ -773,7 +783,7 @@ _GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # 64-bit SimHash in SQL: per-DISTINCT-token md5 -> first 8 bytes big-endian,
 # per-bit majority vote, reassembled as a signed BIGINT — byte-for-byte the
 # semantics of dedup._simhash_udf; pairs are all-pairs (test-scale oracle).
-_SIMHASH_SQL = r"""
+_SIMHASH_SIGS_CTE = r"""
 WITH toks AS (
   SELECT DISTINCT doc_id,
          unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
@@ -797,11 +807,31 @@ WITH toks AS (
                      THEN r.v - 18446744073709551616::HUGEINT
                    ELSE r.v END AS BIGINT) AS v
   FROM documents d LEFT JOIN rawsig r ON d.doc_id = r.doc_id
-)
+)"""
+
+_SIMHASH_SQL = _SIMHASH_SIGS_CTE + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.v, b.v)) <= 3"""
+
+# group-mode contract: rep pairs over DISTINCT signatures (banding is
+# pigeonhole-exact for hamming <= 3), members map each doc to its
+# signature group's min-doc rep at score 0.0
+_SIMHASH_GROUPS_SQL = _SIMHASH_SIGS_CTE + """
+, grp AS (
+  SELECT v, min(doc_id) AS rep FROM sigs GROUP BY v
+), rp AS (
+  SELECT a.rep AS ra, b.rep AS rb, bit_count(xor(a.v, b.v)) AS h
+  FROM grp a JOIN grp b ON a.v < b.v
+  WHERE bit_count(xor(a.v, b.v)) <= 3
+)
+SELECT 'rep_pair' AS record_type, least(ra, rb) AS id_a,
+       greatest(ra, rb) AS id_b, CAST(h AS DOUBLE) AS score
+FROM rp
+UNION ALL
+SELECT 'member', grp.rep, sigs.doc_id, 0.0
+FROM sigs JOIN grp USING (v)"""
 
 # Deterministic fake-decode replay: synthetic_assets payload is the ASCII
 # hexdigest x4, so sha256(VARCHAR) reproduces multimodal._fake_decode.
@@ -1078,6 +1108,7 @@ FROM reach GROUP BY t""",
         # so the SAME oracle is a hard rows+hash check, not a weaker bound.
         "doc_minhash_dedup": _NGRAM_JACCARD_SQL,
         "doc_simhash_dedup": _SIMHASH_SQL,
+        "doc_simhash_groups": _SIMHASH_GROUPS_SQL,
         # group-mode contract restated: rep pairs = exact pairs between
         # fingerprint-group reps; member score = capped within-group
         # jaccard (NULL for singletons / sub-threshold / shingle-less)
