@@ -102,6 +102,11 @@ def main() -> None:
     p = plan_of(E.doc_dedup_keep(spark, sf_dir))
     check("doc_dedup_keep no-cartesian", p,
           must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
+    for gq in ("doc_minhash_groups", "doc_simhash_groups",
+               "emb_dedup_keep"):
+        p = plan_of(E.queries()[gq](spark, sf_dir))
+        check(f"{gq} no-cartesian", p,
+              must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
 
     # dedup pair generators (VERDICT r2 #8): every candidate stage must be
     # an equi-join on blocking keys — no nested-loop/cartesian anywhere —
