@@ -14,7 +14,6 @@ drain end are (correctly) not final and not emitted.
 
 from __future__ import annotations
 
-import datetime as _dt
 from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
