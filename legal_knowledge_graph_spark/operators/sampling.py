@@ -67,20 +67,24 @@ def exact_k_per_stratum(
        per-salt rank <= its stratum rank), so phase 2 is exact.
     2. phase 2 ranks the <= k x n_salts surviving candidates per stratum
        — the stratum-keyed Exchange now carries candidate rows only.
-    3. the selected ids meet the full rows with a LEFT SEMI join (tiny
-       build side, broadcast under AQE), so wide doc payloads never ride
-       either window shuffle.
+    3. the selected (stratum, id) pairs meet the full rows with a LEFT
+       SEMI join on BOTH columns (tiny build side, broadcast under AQE),
+       so wide doc payloads never ride either window shuffle. Joining on
+       the pair — not id alone — keeps the exactly-k contract even if an
+       id repeats across strata (ADVICE r4).
 
     Output is identical to the one-window form at any n_salts because the
-    (hash, id) order is total (id is unique)."""
+    (hash, id) order is total within a stratum (id is unique per
+    stratum)."""
     from pyspark.sql.window import Window
 
     cand = _salted_topk_candidates(docs, strata_col, k, seed, id_col, n_salts)
     w2 = Window.partitionBy(strata_col).orderBy(
         F.col("_h").asc(), F.col(id_col).asc())
     sel = (cand.withColumn("_rk", F.row_number().over(w2))
-           .where(F.col("_rk") <= k).select(id_col))
-    return docs.join(sel, id_col, "left_semi").select(*docs.columns)
+           .where(F.col("_rk") <= k).select(strata_col, id_col))
+    return docs.join(sel, [strata_col, id_col], "left_semi") \
+        .select(*docs.columns)
 
 
 def _salted_topk_candidates(

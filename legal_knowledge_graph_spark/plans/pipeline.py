@@ -67,12 +67,22 @@ class KGPipeline:
         self.stage_format = stage_format or os.environ.get(
             "SPARK_GRAFT_STAGE_FORMAT", "checkpoint")
         self._scratch: str | None = None
+        self._run_seq = 0
 
     def _materialize(self, name: str, df: DataFrame) -> DataFrame:
         if self.stage_format == "parquet":
             if self._scratch is None:
+                import atexit
+                import shutil
+
                 self._scratch = tempfile.mkdtemp(prefix="lkg_stage_")
-            path = os.path.join(self._scratch, name)
+                # scratch outlives run() (returned DataFrames read it
+                # lazily) but not the process (ADVICE r4)
+                atexit.register(shutil.rmtree, self._scratch,
+                                ignore_errors=True)
+            # per-run subdir: a second run() must not overwrite stage
+            # paths that DataFrames from the first run still read
+            path = os.path.join(self._scratch, f"run{self._run_seq}", name)
             df.write.mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
         return df.localCheckpoint()
@@ -90,6 +100,7 @@ class KGPipeline:
         return self.store.write(name, build(), fp)
 
     def run(self, files: DataFrame) -> PipelineResult:
+        self._run_seq += 1
         fp0 = fingerprint(self.run_id, "ingest", self.bucket_by_repo)
         ingested = self._stage(
             "st0_ingest", fp0, lambda: ingest(files, self.bucket_by_repo))
@@ -104,8 +115,10 @@ class KGPipeline:
                 and self.store.is_complete("st3_form_map", fp3):
             nodes = self.store.read(self.spark, "st3_nodes")
             form_map = self.store.read(self.spark, "st3_form_map")
+            n_forms = self.store.rows("st3_form_map")  # manifest, no job
         else:
             nodes, form_map = canonicalize(mentions, self.spark, self.use_lsh)
+            n_forms = getattr(form_map, "_kg_n_forms", None)
             if self.store:
                 nodes = self.store.write("st3_nodes", nodes, fp3)
                 form_map = self.store.write("st3_form_map", form_map, fp3)
@@ -124,7 +137,7 @@ class KGPipeline:
         fp5 = fingerprint(fp3, fp4, "edges")
         edges_raw = self._stage(
             "st5_edges", fp5,
-            lambda: normalize_edges(triples, form_map, self.spark),
+            lambda: normalize_edges(triples, form_map, self.spark, n_forms),
             reused=True)
 
         fp6 = fingerprint(fp5, "coref")

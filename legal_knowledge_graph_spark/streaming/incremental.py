@@ -80,30 +80,60 @@ def run_full_incremental(
     pays O(ledger) a bounded number of times, not once per micro-batch,
     while the drained store still equals the single-shot batch run.
     Defaults (refresh_every=1) preserve the refresh-per-batch behavior."""
+    import json
+    import os
+
     from ..operators.canonicalize import canonicalize
     from ..operators.coref import resolve_coref
     from ..operators.edge_norm import normalize_edges
     from ..operators.triples import emit_triples
     from ..sources.io import read_graph_table, snapshot_graph, upsert_parquet
 
-    def refresh(ledger: DataFrame) -> None:
+    refresh_manifest = os.path.join(graph_root, "_refresh_manifest.json")
+
+    def _last_refresh_rows() -> int | None:
+        if os.path.exists(refresh_manifest):
+            with open(refresh_manifest) as f:
+                return json.load(f).get("ledger_rows")
+        return None
+
+    def refresh(ledger: DataFrame, ledger_rows: int | None = None) -> int:
         nodes, form_map = canonicalize(ledger, spark, use_lsh)
         nodes = nodes.localCheckpoint()
         triples = emit_triples(ledger)
         edges = resolve_coref(
             normalize_edges(triples, form_map, spark), nodes, spark)
         snapshot_graph(spark, graph_root, nodes, edges)
+        # record the ledger count AT this refresh (ADVICE r4): the resume
+        # baseline must measure growth from the last graph the store
+        # actually reflects, not from whatever the ledger holds now
+        if ledger_rows is None:
+            ledger_rows = ledger.count()
+        os.makedirs(graph_root, exist_ok=True)
+        tmp = refresh_manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ledger_rows": ledger_rows}, f)
+        os.replace(tmp, refresh_manifest)
+        return ledger_rows
 
-    # growth baseline seeds from any pre-existing ledger (ADVICE r3): a
-    # resumed stream must not treat batch 1 as infinite growth against a
-    # zero baseline and force the full O(ledger) refresh the policy is
-    # meant to defer. 0 means "no baseline yet" — the first batch then
-    # ESTABLISHES the baseline instead of comparing against it.
+    # growth baseline seeds from the count AT THE LAST REFRESH (ADVICE r3
+    # + r4): a resumed stream must not treat batch 1 as infinite growth
+    # against a zero baseline, but it also must not seed from the CURRENT
+    # ledger — after a crash between the ledger upsert and the refresh,
+    # the current count is inflated and a resume that drains zero new
+    # batches would never fold the stranded rows into the graph. So: seed
+    # from the refresh manifest, and if the ledger already holds more rows
+    # than the last refresh saw, mark the state dirty so the closing
+    # refresh runs even on an empty drain. 0 means "no baseline yet" —
+    # the first batch then ESTABLISHES the baseline.
     try:
-        baseline = read_graph_table(spark, ledger_dir).count()
+        current = read_graph_table(spark, ledger_dir).count()
     except FileNotFoundError:
-        baseline = 0
-    state = {"since": 0, "rows_at_refresh": baseline, "dirty": False}
+        current = 0
+    last = _last_refresh_rows()
+    baseline = last if last is not None else 0
+    state = {"since": 0, "rows_at_refresh": baseline,
+             "dirty": current > baseline}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         delta = mentions_from_files(ingest(batch_df))
@@ -123,10 +153,9 @@ def run_full_incremental(
                 # growth is measured from here on (ADVICE r3)
                 state["rows_at_refresh"] = rows
         if due:
-            refresh(ledger)
+            state["rows_at_refresh"] = refresh(ledger, rows)
             state["since"] = 0
             state["dirty"] = False
-            state["rows_at_refresh"] = ledger.count() if rows is None else rows
 
     stream = (
         spark.readStream.schema(FILES_SCHEMA)

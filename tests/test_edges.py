@@ -101,3 +101,29 @@ def test_fuzzy_fallback_keeps_type_differing_triples(spark):
     assert len(out) == 2
     assert {r.object_type for r in out} == {"Module", "Function"}
     assert all(r.predicate == "file_imports_module" for r in out)
+
+
+def test_normalize_edges_threaded_count_is_jobfree(spark):
+    """VERDICT r4 #2: the form-map size rides canonicalize's checkpoint
+    observe() to normalize_edges — building the edge plan schedules ZERO
+    jobs (the former standalone form_map.count() is gone)."""
+    fm = _form_map(spark, [("File", "r/f.py"), ("Repo", "r")])
+    assert getattr(fm, "_kg_n_forms", None) == 2
+    t = _triples_df(spark, [
+        ("r/f.py", "File", "file_in_repo", "r", "Repo", 0.9),
+    ])
+    sc = spark.sparkContext
+    sc.setJobGroup("edgeplan", "edge plan construction must be job-free")
+    try:
+        edges = normalize_edges(t, fm, spark)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("edgeplan")) == []
+    # explicit n_forms works on a bare (attribute-less) form map too
+    sc.setJobGroup("edgeplan2", "explicit count must also be job-free")
+    try:
+        normalize_edges(t, fm.select(fm.columns), spark, n_forms=2)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("edgeplan2")) == []
+    assert edges.count() == 1

@@ -96,3 +96,38 @@ def test_export_json_and_clear_graph(spark, tmp_path):
         except FileNotFoundError:
             raised = True
         assert raised
+
+
+def test_export_json_job_counts_and_auto_paths(spark, tmp_path):
+    """VERDICT r4 #4: callers passing `distributed` explicitly pay exactly
+    the jobs of that path (2 collects inline, 2 writes distributed — no
+    decision counts); the auto probe picks the same paths and the inline
+    auto dump is byte-identical to the explicit one."""
+    res = run_pipeline(spark, corpus_df(spark, 20, seed=3), use_lsh=False)
+    root = str(tmp_path / "g")
+    nodes, edges = materialize_graph(spark, root, res.nodes, res.edges)
+    sc = spark.sparkContext
+
+    def jobs(name, fn):
+        sc.setJobGroup(name, name)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(name))
+
+    p_inline = os.path.join(str(tmp_path), "ei.json")
+    p_dist = os.path.join(str(tmp_path), "ed.json")
+    p_auto = os.path.join(str(tmp_path), "ea.json")
+    assert jobs("exp_inline", lambda: export_graph_json(
+        nodes, edges, p_inline, distributed=False)) == 2
+    assert jobs("exp_dist", lambda: export_graph_json(
+        nodes, edges, p_dist, distributed=True)) == 2
+    # auto: bounded limit-probe doubles as the payload — few jobs, same file
+    assert jobs("exp_auto", lambda: export_graph_json(
+        nodes, edges, p_auto)) <= 6
+    assert open(p_auto).read() == open(p_inline).read()
+    # auto picks the distributed path above the cap
+    p_auto2 = os.path.join(str(tmp_path), "ea2.json")
+    m = export_graph_json(nodes, edges, p_auto2, collect_max=1)
+    assert m["format"] == "json-dirs"

@@ -380,3 +380,47 @@ def test_sessionization_two_late_events_merge_across_batches(spark, tmp_path):
         tuple(r) for r in sessionize_batch(all_events, gap_minutes=30).collect()
         if r.session_end + 30 * m < final_wm)
     assert streamed == closeable
+
+
+def test_stranded_ledger_rows_refresh_on_empty_resume(spark, tmp_path):
+    """ADVICE r4: ledger rows that landed without a graph refresh (crash
+    between the ledger upsert and the refresh) must be folded in on
+    resume EVEN IF the resumed stream drains zero new batches — the
+    growth baseline seeds from the refresh manifest, not the inflated
+    current ledger count."""
+    from legal_knowledge_graph_spark.plans import run_pipeline
+    from legal_knowledge_graph_spark.sources.io import (
+        read_graph_table, upsert_parquet,
+    )
+    from legal_knowledge_graph_spark.streaming import run_full_incremental
+
+    files = corpus_df(spark, 30, seed=5)
+    part_a = files.where((F.crc32(F.concat("repo", "path")) % 2) == 0)
+    part_b = files.where((F.crc32(F.concat("repo", "path")) % 2) == 1)
+    landing = str(tmp_path / "landing")
+    part_a.coalesce(1).write.mode("append").parquet(landing)
+
+    ledger = str(tmp_path / "ledger")
+    graph = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    run_full_incremental(spark, landing, ledger, graph, ckpt, use_lsh=False)
+
+    # simulate the crash-stranded upsert: B's mentions reach the ledger
+    # but no refresh runs (and no new batch will ever replay them)
+    upsert_parquet(spark, ledger, mentions_from_files(ingest(part_b)),
+                   ["mention_id"])
+    # resume: drains ZERO new batches, must still flush the stale graph
+    run_full_incremental(spark, landing, ledger, graph, ckpt, use_lsh=False)
+
+    res = run_pipeline(spark, files, use_lsh=False)
+    want_nodes = sorted(r.entity_id for r in res.nodes.collect())
+    want_edges = sorted(
+        r.edge_id for r in res.edges.where(~F.col("need_coref")).collect())
+    got_nodes = sorted(
+        r.entity_id
+        for r in read_graph_table(spark, f"{graph}/graph_nodes").collect())
+    got_edges = sorted(
+        r.edge_id
+        for r in read_graph_table(spark, f"{graph}/graph_edges").collect())
+    assert got_nodes == want_nodes
+    assert got_edges == want_edges
