@@ -115,9 +115,16 @@ def _commit(seed: int, repo: str) -> str:
 # ---------------------------------------------------------------------------
 # Repo layout: repo 0 is the mega-repo; the rest draw 5–15 files each.
 # ---------------------------------------------------------------------------
-def repo_layout(n_files: int, seed: int) -> tuple[list[str], list[int]]:
-    """Returns (repo_names, cumulative_end_index) covering n_files."""
-    mega = max(20, min(1000, n_files // 5))
+def repo_layout(n_files: int, seed: int,
+                mega_files: int | None = None) -> tuple[list[str], list[int]]:
+    """Returns (repo_names, cumulative_end_index) covering n_files.
+
+    `mega_files` overrides the mega-repo's size (default: n_files//5
+    capped at 1000 — already ~100x the 5-15-file median). The scaling
+    harness's skew rep passes a third of the corpus here to measure the
+    salted-repartition/salted-agg story on an extreme hot key
+    (VERDICT r4 #5)."""
+    mega = mega_files if mega_files else max(20, min(1000, n_files // 5))
     rng = _rng(seed, "repos")
     names = [MEGA_REPO]
     bounds = [min(mega, n_files)]
@@ -501,14 +508,15 @@ def corpus_df(spark, n_files: int, seed: int = 42):
 
 
 def corpus_df_distributed(spark, n_files: int, seed: int = 42,
-                          partitions: int = 64, content_scale: int = 1):
+                          partitions: int = 64, content_scale: int = 1,
+                          mega_files: int | None = None):
     """files DataFrame rendered on executors (bench scale): spark.range over
     file indices -> mapInPandas render. Identical bytes to corpus_df."""
     import pandas as pd
 
     from .schema import FILES_SCHEMA
 
-    names, bounds = repo_layout(n_files, seed)
+    names, bounds = repo_layout(n_files, seed, mega_files)
 
     def gen(batches):
         for pdf in batches:

@@ -34,10 +34,12 @@ sys.path.insert(0, %(repo)r)
 from legal_knowledge_graph_spark.session import build_session
 from legal_knowledge_graph_spark.corpus import corpus_df_distributed
 n_files = int(sys.argv[1]); scale = int(sys.argv[2]); path = sys.argv[3]
+mega = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 spark = build_session(app_name="lkg-scale-gen", master="local[32]",
                       shuffle_partitions=32)
 corpus_df_distributed(spark, n_files, seed=42, partitions=64,
-                      content_scale=scale).write.mode("overwrite").parquet(path)
+                      content_scale=scale,
+                      mega_files=mega or None).write.mode("overwrite").parquet(path)
 print("GEN_DONE")
 """
 
@@ -83,13 +85,19 @@ def run_level(cpus: int, input_path: str) -> dict:
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    # skew mode (VERDICT r4 #5): SPARK_GRAFT_SCALE_MEGA=<files> plants an
+    # extreme hot repo (that many files in ONE repo vs a 5-15 median) and
+    # MERGES the measured pair into scaling.json under "skew_pair" instead
+    # of overwriting the main sweep.
+    mega = int(os.environ.get("SPARK_GRAFT_SCALE_MEGA", "0"))
     levels = [int(x) for x in os.environ.get(
-        "SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(",")]
-    input_path = f"/tmp/lkg_scale_corpus_{n_files}_{scale}"
+        "SPARK_GRAFT_SCALE_LEVELS", "8,32" if mega else "2,8,32").split(",")]
+    input_path = f"/tmp/lkg_scale_corpus_{n_files}_{scale}" + (
+        f"_mega{mega}" if mega else "")
     if not os.path.isdir(input_path):
         gen = subprocess.run(
             [sys.executable, "-c", _GEN % {"repo": REPO},
-             str(n_files), str(scale), input_path],
+             str(n_files), str(scale), input_path, str(mega)],
             capture_output=True, text=True, timeout=3000, cwd=REPO)
         if "GEN_DONE" not in gen.stdout:
             raise RuntimeError(f"corpus gen failed:\n{gen.stderr[-2000:]}")
@@ -108,8 +116,19 @@ def main() -> None:
         "levels": results, "efficiency": effs, "identical_output": True,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    out_path = os.path.join(REPO, "BENCH", "scaling.json")
+    if mega:
+        existing = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                existing = json.load(f)
+        result["mega_files"] = mega
+        existing["skew_pair"] = result
+        with open(out_path, "w") as f:
+            json.dump(existing, f, indent=1)
+    else:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
 
 
