@@ -645,6 +645,49 @@ def _type_norm_inputs(block_aliases, block_types, entity_aliases, entity_types):
     return rows
 
 
+def graph_pagerank(spark, sf_dir):
+    """Iterative PageRank (graph_algos.pagerank: dangling-mass
+    redistribution, 10 fixed iterations) over the customer->supplier->
+    nation purchase graph; top 20 by rounded rank with deterministic
+    tiebreak. Top-k via orderBy+limit (TakeOrderedAndProject — per-
+    partition top-k then merge, never a global sort); the oracle unrolls
+    the identical recurrence in SQL."""
+    from pyspark.sql.window import Window
+
+    from legal_knowledge_graph_spark.operators.graph_algos import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    sn = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"))
+    pr = pagerank(cs.unionByName(sn), n_iter=10, damping=0.85)
+    top = (
+        pr.select("node", F.round("rank", 6).alias("pr"))
+        .orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def doc_lm_score(spark, sf_dir):
+    """Unigram-LM quality score (text_analysis.unigram_lm_scores): corpus-
+    trained token frequencies, per-doc mean log10 probability — the
+    CCNet/Gopher perplexity-filter shape without external LM weights."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    out = unigram_lm_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_logprob", 4).alias("avg_logprob"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -694,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_term_neighbors": kg_term_neighbors,
         "kg_term_components": kg_term_components,
         "events_sessions": events_sessions,
+        "graph_pagerank": graph_pagerank,
+        "doc_lm_score": doc_lm_score,
     }
 
 
@@ -937,6 +982,55 @@ SELECT kind, raw_type,
        ELSE cand END AS normalized,
   CASE WHEN kind = 'block' THEN TRUE ELSE cand IN ({et}) END AS kept
 FROM j"""
+
+
+def _pagerank_oracle(n_iter: int, damping: float, k: int) -> str:
+    """Unrolled-iteration SQL restatement of graph_algos.pagerank on the
+    customer->supplier->nation purchase graph: one (contribs, ranks) CTE
+    pair per iteration, dangling mass = 1 - contributed (the same
+    recurrence the Spark operator evaluates), every literal cast to
+    DOUBLE so DuckDB's DECIMAL arithmetic never diverges from Spark's
+    doubles."""
+    d = repr(float(damping))
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR),
+                  'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+p0 AS MATERIALIZED (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.rank / dg.outdeg) AS c
+  FROM e JOIN p{i - 1} p ON e.src = p.node JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+), p{i} AS MATERIALIZED (
+  SELECT n.node,
+    (CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+    + {d} * (COALESCE(c.c, CAST(0 AS DOUBLE))
+             + greatest(CAST(0 AS DOUBLE),
+                        CAST(1 AS DOUBLE) - (SELECT sum(c) FROM c{i}))
+               / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)""")
+    parts.append(f"""
+SELECT node, pr, rk FROM (
+  SELECT node, round(rank, 6) AS pr,
+         CAST(row_number() OVER (ORDER BY round(rank, 6) DESC, node ASC)
+              AS INT) AS rk
+  FROM p{n_iter}
+) WHERE rk <= {k}""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1449,4 +1543,23 @@ FROM reach GROUP BY t""",
         "emb_knn_ivf": f"""
 SELECT query_id, neighbor_id, cosine, rank
 FROM read_parquet('{_GOLDEN_DIR}/golden_ivf.parquet')""",
+        "graph_pagerank": _pagerank_oracle(n_iter=10, damping=0.85, k=20),
+        "doc_lm_score": r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+             x -> x <> '')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS n FROM words GROUP BY word
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+  FROM vocab
+)
+SELECT w.doc_id, count(*) AS n_tokens,
+       round(avg(log10((vocab.n + 0.5) / (tot.t + 0.5 * tot.v))), 4)
+         AS avg_logprob
+FROM words w JOIN vocab USING (word) CROSS JOIN tot
+GROUP BY w.doc_id""",
     }

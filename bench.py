@@ -73,6 +73,9 @@ def main() -> None:
         # semi-join, IVF ANN (KMeans fit included)
         "doc_stratified_sample", "doc_decontaminate", "emb_knn_ivf",
         "doc_filter_chain",
+        # round-5 additions: iterative PageRank over the purchase graph,
+        # corpus-trained unigram-LM quality scoring
+        "graph_pagerank", "doc_lm_score",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -345,3 +345,55 @@ def _winnow_udf(texts: pd.Series) -> pd.Series:
 
 def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", _winnow_udf(F.col(text_col)).alias("winnow"))
+
+
+def unigram_lm_scores(
+    docs: DataFrame, smoothing: float = 0.5, text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality scoring (the CCNet/Gopher perplexity-filter
+    shape, with an honest in-engine unigram LM instead of external KenLM
+    weights): train token frequencies over the corpus itself, then score
+    each document by its mean token log10-probability under the
+    additive-smoothed unigram model
+
+        p(w) = (count(w) + a) / (T + a * V)
+
+    Output: (doc_id, n_tokens, avg_logprob) — higher (less negative) =
+    more typical text; rank/threshold downstream like any quality score.
+
+    Scale shape (100 TB): pass 1 is ONE map-side-combined aggregation on
+    the token (zipfian hot keys like 'the' are absorbed by the partial
+    count — no skew amplification); T and V ride the vocab checkpoint via
+    observe(). Pass 2 joins the exploded tokens to the vocab — broadcast
+    only while the OBSERVED vocab size stays under the threshold (web-
+    scale vocabs fall back to a shuffle join) — then one map-side-
+    combined avg per doc. No Python anywhere; an exact SQL oracle
+    restates both passes."""
+    from pyspark.sql import Observation
+
+    words = docs.select(
+        "doc_id",
+        F.explode(F.filter(_split_words(text_col), lambda x: x != ""))
+        .alias("word"))
+    obs = Observation()
+    vocab = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .observe(obs, F.sum("n").alias("t"), F.count(F.lit(1)).alias("v"))
+        .localCheckpoint()
+    )
+    t_total, v_size = obs.get["t"], obs.get["v"]
+    if not t_total:
+        return docs.select("doc_id").limit(0).select(
+            "doc_id", F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("avg_logprob"))
+    denom = float(t_total) + smoothing * float(v_size)
+    vocab_side = F.broadcast(vocab) if v_size <= 2_000_000 else vocab
+    return (
+        words.join(vocab_side, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log10((F.col("n") + F.lit(smoothing)) / F.lit(denom)))
+            .alias("avg_logprob"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""PageRank + degrees (operators/graph_algos.py) and the unigram LM
+quality scorer (text_analysis.unigram_lm_scores) — closed-form and
+reference-implementation checks on hand-built fixtures."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from legal_knowledge_graph_spark.operators.graph_algos import (
+    degrees, pagerank,
+)
+from legal_knowledge_graph_spark.operators.text_analysis import (
+    unigram_lm_scores,
+)
+
+
+def _numpy_pagerank(edge_list, damping, n_iter):
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, _ in edge_list:
+        out[a] = out.get(a, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        c = np.zeros(n)
+        for a, b in edge_list:
+            c[idx[b]] += r[idx[a]] / out[a]
+        dangling = max(0.0, 1.0 - c.sum())
+        r = (1 - damping) / n + damping * (c + dangling / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    # diamond + dangling sink: a->b, a->c, b->d, c->d (d dangles)
+    edge_list = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    e = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r["rank"] for r in pagerank(e, n_iter=10).collect()}
+    want = _numpy_pagerank(edge_list, 0.85, 10)
+    assert set(got) == set(want)
+    for node in want:
+        assert math.isclose(got[node], want[node], rel_tol=1e-9), node
+    # the dangling redistribution keeps total mass = 1
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+    # symmetric midpoints tie; the sink accumulates the most rank
+    assert math.isclose(got["b"], got["c"], rel_tol=1e-12)
+    assert got["d"] == max(got.values())
+
+
+def test_pagerank_duplicate_edges_collapse_and_empty_graph(spark):
+    e = spark.createDataFrame(
+        [("a", "b")] * 5 + [("b", "a")], "src string, dst string")
+    got = {r.node: r["rank"] for r in pagerank(e, n_iter=5).collect()}
+    want = _numpy_pagerank([("a", "b"), ("b", "a")], 0.85, 5)
+    for node in want:
+        assert math.isclose(got[node], want[node], rel_tol=1e-9)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+
+
+def test_degrees(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")],
+        "src string, dst string")
+    got = {r.node: (r.out_degree, r.in_degree) for r in degrees(e).collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+def test_unigram_lm_scores_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, "the the dog"), (2, "  ")],
+        "doc_id long, text string")
+    # corpus counts: the=3, cat=1, dog=1 -> T=5, V=3, denom = 5 + 0.5*3
+    denom = 5 + 0.5 * 3
+    p = {"the": (3 + 0.5) / denom, "cat": (1 + 0.5) / denom,
+         "dog": (1 + 0.5) / denom}
+    out = {r.doc_id: r for r in unigram_lm_scores(docs).collect()}
+    assert set(out) == {0, 1}  # doc 2 has no tokens
+    assert out[0].n_tokens == 2
+    want0 = (math.log10(p["the"]) + math.log10(p["cat"])) / 2
+    assert math.isclose(out[0].avg_logprob, want0, rel_tol=1e-12)
+    want1 = (2 * math.log10(p["the"]) + math.log10(p["dog"])) / 3
+    assert math.isclose(out[1].avg_logprob, want1, rel_tol=1e-12)
+    # the all-common-words doc scores higher (more typical text)
+    assert out[1].avg_logprob > want0 or out[1].n_tokens == 3
+
+
+def test_unigram_lm_empty_corpus(spark):
+    docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    assert unigram_lm_scores(docs).count() == 0

@@ -127,6 +127,20 @@ def main() -> None:
             failures.append(
                 f"{qname}: {n_ex} Exchange nodes (max {max_exchanges})")
 
+    # round-5 ops: PageRank's final top-k must be TakeOrderedAndProject
+    # (per-partition top-k + merge, never a global sort) and the iteration
+    # plan is checkpoint-rooted so only the LAST iteration's join shows;
+    # the LM scorer is pure Catalyst (explode/agg/join, no python)
+    p = plan_of(E.graph_pagerank(spark, sf_dir))
+    check("graph_pagerank topk", p,
+          must_contain=("TakeOrderedAndProject",),
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
+    p = plan_of(E.doc_lm_score(spark, sf_dir))
+    check("doc_lm_score JVM-only", p,
+          must_not=("BatchEvalPython", "ArrowEvalPython",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"))
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
