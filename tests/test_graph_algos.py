@@ -89,3 +89,26 @@ def test_unigram_lm_scores_closed_form(spark):
 def test_unigram_lm_empty_corpus(spark):
     docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
     assert unigram_lm_scores(docs).count() == 0
+
+
+def test_pagerank_on_kg_edges(spark):
+    """PageRank runs directly on the pipeline's edge table; hub entities
+    (the repo, shared licenses/modules — high in-degree endpoints) must
+    outrank leaf files, and mass must stay 1."""
+    from legal_knowledge_graph_spark.corpus import corpus_df
+    from legal_knowledge_graph_spark.plans import run_pipeline
+
+    res = run_pipeline(spark, corpus_df(spark, 40, seed=42), use_lsh=False)
+    edges = res.edges.where(~F.col("need_coref"))
+    pr = pagerank(edges, src="subject_entity_id", dst="object_entity_id",
+                  n_iter=10)
+    rows = pr.join(
+        res.nodes, pr["node"] == res.nodes["entity_id"]
+    ).select("entity_type", "canonical_name", "rank").collect()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+    by_rank = sorted(rows, key=lambda r: -r["rank"])
+    top_types = {r.entity_type for r in by_rank[:5]}
+    # sinks of file_in_repo / license_covers_repo / file_imports_module
+    # edges dominate; a leaf File never beats every hub
+    assert top_types & {"Repo", "License", "Module", "Author"}
+    assert by_rank[0].entity_type != "File"
