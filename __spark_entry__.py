@@ -688,6 +688,17 @@ def doc_lm_score(spark, sf_dir):
         F.round("avg_logprob", 4).alias("avg_logprob"))
 
 
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence-packing placement manifest (packing.pack_sequences):
+    deterministic shard + running token offset + first/last 512-token
+    training sequence per document. Integer-exact, so the oracle is a
+    verbatim SQL window restatement."""
+    from legal_knowledge_graph_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"),
+                          budget=512, n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -739,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         "graph_pagerank": graph_pagerank,
         "doc_lm_score": doc_lm_score,
+        "doc_pack_sequences": doc_pack_sequences,
     }
 
 
@@ -1562,4 +1574,19 @@ SELECT w.doc_id, count(*) AS n_tokens,
          AS avg_logprob
 FROM words w JOIN vocab USING (word) CROSS JOIN tot
 GROUP BY w.doc_id""",
+        "doc_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(regexp_extract_all(text, '{BPE_ISH_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS token_end
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, shard, n_tokens, token_end - n_tokens AS token_start,
+       (token_end - n_tokens) // 512 AS seq_first,
+       (token_end - 1) // 512 AS seq_last
+FROM c""",
     }

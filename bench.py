@@ -74,8 +74,8 @@ def main() -> None:
         "doc_stratified_sample", "doc_decontaminate", "emb_knn_ivf",
         "doc_filter_chain",
         # round-5 additions: iterative PageRank over the purchase graph,
-        # corpus-trained unigram-LM quality scoring
-        "graph_pagerank", "doc_lm_score",
+        # corpus-trained unigram-LM quality scoring, sequence packing
+        "graph_pagerank", "doc_lm_score", "doc_pack_sequences",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

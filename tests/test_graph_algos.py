@@ -112,3 +112,44 @@ def test_pagerank_on_kg_edges(spark):
     # edges dominate; a leaf File never beats every hub
     assert top_types & {"Repo", "License", "Module", "Author"}
     assert by_rank[0].entity_type != "File"
+
+
+def test_pack_sequences_closed_form(spark):
+    """Concat-and-chunk placement: offsets are the running token sum per
+    shard in doc_id order; seq_first/seq_last bracket the budget-sized
+    chunks a doc overlaps; zero-token docs are dropped."""
+    from legal_knowledge_graph_spark.operators.packing import pack_sequences
+
+    # n_shards=2: even doc_ids -> shard 0, odd -> shard 1
+    docs = spark.createDataFrame(
+        [(0, "a b c"),            # 3 tokens, shard 0, start 0
+         (1, "w x y z"),          # 4 tokens, shard 1, start 0
+         (2, "d e f g h"),        # 5 tokens, shard 0, start 3 -> spans chunk 0..1
+         (3, ""),                 # 0 tokens -> dropped
+         (4, "i j")],             # 2 tokens, shard 0, start 8 -> chunk 2
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           pack_sequences(docs, budget=4, n_shards=2).collect()}
+    assert set(out) == {0, 1, 2, 4}
+    assert (out[0].shard, out[0].token_start, out[0].seq_first,
+            out[0].seq_last) == (0, 0, 0, 0)
+    assert (out[1].shard, out[1].token_start, out[1].seq_first,
+            out[1].seq_last) == (1, 0, 0, 0)
+    # doc 2: tokens [3,8) with budget 4 -> chunks 0 and 1
+    assert (out[2].token_start, out[2].seq_first, out[2].seq_last) == (3, 0, 1)
+    # doc 4: tokens [8,10) -> chunk 2 only
+    assert (out[4].token_start, out[4].seq_first, out[4].seq_last) == (8, 2, 2)
+    # shard streams are gapless: starts partition the token axis
+    assert out[2].token_start == out[0].n_tokens
+    assert out[4].token_start == out[0].n_tokens + out[2].n_tokens
+
+
+def test_pack_sequences_plan_is_shard_local(spark):
+    """The only Exchange is the hash partition on `shard` feeding the
+    window — no global sort, no joins."""
+    from legal_knowledge_graph_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
+    assert "Join" not in plan and "Cartesian" not in plan
