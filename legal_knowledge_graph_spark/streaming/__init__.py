@@ -16,3 +16,6 @@ from .incremental import (  # noqa: F401
 )
 from .windows import run_windowed_events, windowed_event_counts  # noqa: F401
 from .sessions import run_sessionize, sessionize_batch, sessionized  # noqa: F401
+from .dedup_stream import (  # noqa: F401
+    run_streaming_dedup, streaming_exact_dedup,
+)

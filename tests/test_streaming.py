@@ -424,3 +424,42 @@ def test_stranded_ledger_rows_refresh_on_empty_resume(spark, tmp_path):
         for r in read_graph_table(spark, f"{graph}/graph_edges").collect())
     assert got_nodes == want_nodes
     assert got_edges == want_edges
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Stateful dropDuplicates keeps the first-arriving copy of every
+    distinct normalized content ACROSS micro-batches: drained output
+    fingerprints equal the batch dedup table, later-batch clones are
+    dropped, and a re-drain on the same checkpoint is a no-op."""
+    from legal_knowledge_graph_spark.operators.dedup import exact_duplicates
+    from legal_knowledge_graph_spark.streaming import run_streaming_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.where(F.col("doc_id") < 250)
+    # batch 2: fresh docs PLUS whitespace-variant clones of batch-1 texts
+    clones = (
+        b1.where(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
+                "lang", "source", "n_chars")
+    )
+    b2 = docs.where(F.col("doc_id") >= 250).unionByName(clones)
+
+    landing = str(tmp_path / "dd_landing")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    run_streaming_dedup(spark, landing, out, ckpt, docs.schema)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    run_streaming_dedup(spark, landing, out, ckpt, docs.schema)
+
+    got = spark.read.parquet(out)
+    want_fps = {r.fingerprint for r in
+                exact_duplicates(docs, min_count=1).collect()}
+    got_fps = sorted(r.fingerprint for r in got.collect())
+    assert got_fps == sorted(want_fps)          # set equality, no repeats
+    assert got.where(F.col("doc_id") >= 100000).count() == 0  # clones dropped
+    # exactly-once: re-drain with nothing new is a no-op
+    run_streaming_dedup(spark, landing, out, ckpt, docs.schema)
+    assert sorted(r.fingerprint
+                  for r in spark.read.parquet(out).collect()) == got_fps
