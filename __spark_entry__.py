@@ -699,6 +699,50 @@ def doc_pack_sequences(spark, sf_dir):
                           budget=512, n_shards=8)
 
 
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (graph_algos.triangle_count: degree-ordered orientation, wedge join
+    bounded O(sqrt(m)) per node) over the part co-purchase graph — parts
+    connected when they appear in the same order. Triangle counts are
+    orientation-invariant, so the oracle uses the simple a<b<c id-ordered
+    SQL form and must agree exactly."""
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        triangle_count,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").where(F.col("pa") < F.col("pb")).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return triangle_count(pairs)
+
+
+def doc_vocab(spark, sf_dir):
+    """Tokenizer-prep corpus vocabulary (text_analysis.corpus_vocab):
+    top-200 tokens by global frequency with cumulative coverage of the
+    token mass — top-k via TakeOrderedAndProject, cumsum window over the
+    200 survivors only."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        corpus_vocab,
+    )
+
+    return corpus_vocab(_t(spark, sf_dir, "documents"), top_v=200)
+
+
+def doc_tfidf_keywords(spark, sf_dir):
+    """Per-document top-5 terms by tf-idf (text_analysis.tfidf_keywords):
+    tf*ln(N/df), N riding as a one-row broadcast aggregate, idf join
+    broadcast under the observed vocab size."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        tfidf_keywords,
+    )
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -751,6 +795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "doc_lm_score": doc_lm_score,
         "doc_pack_sequences": doc_pack_sequences,
+        "graph_triangles": graph_triangles,
+        "doc_vocab": doc_vocab,
+        "doc_tfidf_keywords": doc_tfidf_keywords,
     }
 
 
@@ -1589,4 +1636,71 @@ SELECT doc_id, shard, n_tokens, token_end - n_tokens AS token_start,
        (token_end - n_tokens) // 512 AS seq_first,
        (token_end - 1) // 512 AS seq_last
 FROM c""",
+        # triangle counts are orientation-invariant: the engine uses
+        # degree-ordered orientation (skew-safe), the oracle the naive
+        # a<b<c id-ordered join — they must agree exactly
+        "graph_triangles": """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e1.b = e2.a
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree, coalesce(pn.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(pn.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN pn USING (node)""",
+        "doc_vocab": r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), counts AS (
+  SELECT word, count(*) AS n FROM words
+  WHERE length(word) >= 2 GROUP BY word
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+top AS (SELECT word, n FROM counts ORDER BY n DESC, word ASC LIMIT 200)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INT) AS rank,
+       word, n,
+       round(CAST(sum(n) OVER (ORDER BY n DESC, word ASC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t, 6)
+         AS coverage
+FROM top, tot""",
+        "doc_tfidf_keywords": r"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words
+  WHERE length(word) >= 2 GROUP BY doc_id, word
+), dft AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dft USING (word), nd
+), rk AS (
+  SELECT doc_id, word, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word ASC) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, word, tfidf, rank FROM rk WHERE rank <= 5""",
     }

@@ -76,6 +76,9 @@ def main() -> None:
         # round-5 additions: iterative PageRank over the purchase graph,
         # corpus-trained unigram-LM quality scoring, sequence packing
         "graph_pagerank", "doc_lm_score", "doc_pack_sequences",
+        # round-5 late additions: skew-safe triangle counting, tokenizer
+        # vocab coverage, tf-idf keywording
+        "graph_triangles", "doc_vocab", "doc_tfidf_keywords",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -89,6 +89,85 @@ def pagerank(
     return ranks
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over the undirected simple graph induced by `edges` (self-loops and
+    duplicate/reverse edges collapsed).
+
+    Returns (node, degree, n_triangles, clustering) for every node, with
+    clustering = 2*t / (d*(d-1)) rounded to 6 places (0.0 when d < 2).
+
+    Scale shape (100 TB edge table): the classic skew killer is wedge
+    enumeration at hub nodes — a degree-10^6 hub contributes 10^12
+    wedges under naive id-ordering. This uses degree-ordered orientation
+    (each undirected edge directed from its (degree, id)-smaller
+    endpoint), which bounds every node's oriented out-degree by
+    O(sqrt(m)) [Chiba–Nishizeki; the standard MapReduce/GraphX variant],
+    so the wedge join is skew-safe regardless of hub degree. Triangle
+    counts are orientation-invariant, so the DuckDB oracle can use the
+    simple a<b<c id-ordered form and must agree exactly. All joins are
+    equi-joins on node ids; the only shuffles are the degree agg, the
+    wedge self-join, and the closing-edge semi-join — no cross joins,
+    no driver collect."""
+    # canonical undirected simple edges: (a, b) with a < b
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()  # degree, orientation and closing join all reuse it
+    )
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    ed = e0.join(da, "a").join(db, "b")
+    # orient from the (degree, id)-smaller endpoint; keep the head's
+    # degree so the wedge join can order its two heads the same way
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("tail"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("head"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("head_deg"),
+    ).localCheckpoint()  # wedge join consumes it twice, closing join once
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedges (x, y) around a shared tail, x before y in (degree, id) order
+    # => if the triangle closes, the closing oriented edge is exactly x->y
+    x_first = (F.col("o1.head_deg") < F.col("o2.head_deg")) | (
+        (F.col("o1.head_deg") == F.col("o2.head_deg"))
+        & (F.col("o1.head") < F.col("o2.head")))
+    wedges = o1.join(o2, F.col("o1.tail") == F.col("o2.tail")).where(x_first) \
+        .select(F.col("o1.tail").alias("apex"),
+                F.col("o1.head").alias("x"), F.col("o2.head").alias("y"))
+    closing = oriented.select(F.col("tail").alias("x"), F.col("head").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    per_node = (
+        tris.select(F.col("apex").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))), 6),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(node, out_degree, in_degree) over a distinct edge set."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \

@@ -397,3 +397,96 @@ def unigram_lm_scores(
             .alias("avg_logprob"),
         )
     )
+
+
+def corpus_vocab(
+    docs: DataFrame, top_v: int = 500, min_len: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary: the top `top_v` corpus tokens by global
+    frequency with each token's cumulative coverage of the total token
+    mass — the first artifact a BPE/WordPiece trainer derives, and the
+    standard way to pick a vocab-size/coverage tradeoff.
+
+    Output: (rank, word, n, coverage) with coverage = cumulative n up to
+    this rank / total token count (round 6), ranked by (n desc, word asc).
+
+    Scale shape (100 TB): ONE map-side-combined token aggregation (the
+    zipfian head collapses in the partial agg), then top_v rows via
+    orderBy+limit (TakeOrderedAndProject — per-partition top-k merge,
+    never a global sort). The cumulative window runs over only the top_v
+    survivors in a single partition, and the total-token scalar arrives
+    by broadcasting a one-row aggregate — no driver collect, no
+    unpartitioned window over the full vocab."""
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.explode(_split_words(text_col)).alias("word"))
+    counts = (
+        words.where(F.length("word") >= min_len)
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # top-k and the total both consume it
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(top_v)
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("word").asc())
+            ).cast("int").alias("rank"),
+            "word", "n",
+            F.round(F.sum("n").over(w) / F.col("t"), 6).alias("coverage"),
+        )
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame, k: int = 5, min_len: int = 2, text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf (retrieval-grade keywording, a
+    strict upgrade of the frequency-only A5/W4 top_keywords): score =
+    tf * ln(N / df) with raw term count as tf, rounded to 6 places,
+    deterministic (score desc, word asc) tiebreak.
+
+    Scale shape (100 TB): tf is a (doc_id, word) map-side-combined agg;
+    df reuses the same agg's output (count of docs per word), its size
+    rides the checkpoint via observe(). N (corpus doc count) stays a
+    one-row broadcast aggregate cross-joined into the scoring projection
+    — never a driver-side scalar job. The idf table is word-sized and
+    joins back to tf on the word key (broadcast under the observed size,
+    shuffle above); per-doc top-k is a window over each doc's own terms
+    only. No global sorts, no Python."""
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        "doc_id", F.explode(_split_words(text_col)).alias("word"))
+    tf = (
+        words.where(F.length("word") >= min_len)
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # df and the scoring join both consume it
+    )
+    obs = Observation()
+    df_tbl = (
+        tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        .observe(obs, F.count(F.lit(1)).alias("n_words"))
+        .localCheckpoint()
+    )
+    n_docs = docs.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    idf_side = F.broadcast(df_tbl) if obs.get["n_words"] <= 2_000_000 \
+        else df_tbl
+    scored = tf.join(idf_side, "word").join(F.broadcast(n_docs)).select(
+        "doc_id", "word",
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        .alias("tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

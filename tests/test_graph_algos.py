@@ -153,3 +153,60 @@ def test_pack_sequences_plan_is_shard_local(spark):
     plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" in plan
     assert "Join" not in plan and "Cartesian" not in plan
+
+
+def _brute_triangles(edge_list):
+    """Reference per-node triangle counts over the undirected simple
+    graph (self-loops dropped, duplicates/reversals collapsed)."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    tri = {n: 0 for n in nodes}
+    deg = {n: 0 for n in nodes}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    return nodes, deg, tri
+
+
+def _check_triangles(spark, edge_list):
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        triangle_count,
+    )
+
+    nodes, deg, tri = _brute_triangles(edge_list)
+    e = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r for r in triangle_count(e).collect()}
+    assert sorted(got) == nodes
+    for n in nodes:
+        assert got[n].degree == deg[n], n
+        assert got[n].n_triangles == tri[n], n
+        want_c = (2.0 * tri[n] / (deg[n] * (deg[n] - 1))
+                  if deg[n] >= 2 else 0.0)
+        assert abs(got[n].clustering - round(want_c, 6)) < 1e-9, n
+
+
+def test_triangle_count_complete_graph(spark):
+    # K4: every node has degree 3, sits in C(3,2)=3 triangles, clustering 1
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    _check_triangles(spark, k4)
+
+
+def test_triangle_count_mixed_graph_vs_bruteforce(spark):
+    # hub h touching everything + one clean triangle + a dangling path;
+    # reversed duplicates and a self-loop must collapse
+    edges = [("h", "a"), ("a", "h"), ("h", "b"), ("h", "c"), ("h", "d"),
+             ("a", "b"), ("c", "d"), ("d", "e"), ("e", "f"), ("x", "x"),
+             ("p", "q"), ("q", "r"), ("r", "p"), ("p", "q")]
+    _check_triangles(spark, [e for e in edges if e != ("x", "x")])
+
+
+def test_triangle_count_triangle_free(spark):
+    # bipartite square: zero triangles everywhere
+    _check_triangles(spark, [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")])

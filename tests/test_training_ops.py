@@ -887,3 +887,46 @@ def test_exact_k_per_stratum_with_ids_repeating_across_strata(spark):
     for r in out:
         per.setdefault(r.source, set()).add(r.doc_id)
     assert {s: len(v) for s, v in per.items()} == {"a": 5, "b": 5}
+
+
+def test_corpus_vocab_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        corpus_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb bb cc"), (2, "bb cc cc dd")], "doc_id long, text string")
+    rows = corpus_vocab(docs, top_v=3, min_len=1).orderBy("rank").collect()
+    # counts: aa 1, bb 3, cc 3, dd 1 (total 8); order bb, cc, aa
+    assert [(r.rank, r.word, r.n) for r in rows] == [
+        (1, "bb", 3), (2, "cc", 3), (3, "aa", 1)]
+    assert [r.coverage for r in rows] == [
+        round(3 / 8, 6), round(6 / 8, 6), round(7 / 8, 6)]
+
+
+def test_tfidf_keywords_closed_form(spark):
+    import math
+
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc"), (3, "cc cc cc")],
+        "doc_id long, text string")
+    rows = tfidf_keywords(docs, k=2, min_len=1).collect()
+    got = {(r.doc_id, r.word): (r.tfidf, r.rank) for r in rows}
+    # df: aa 1, bb 2, cc 2; N=3
+    idf = {"aa": math.log(3 / 1), "bb": math.log(3 / 2),
+           "cc": math.log(3 / 2)}
+    want = {
+        (1, "aa"): (round(2 * idf["aa"], 6), 1),
+        (1, "bb"): (round(1 * idf["bb"], 6), 2),
+        (2, "bb"): (round(1 * idf["bb"], 6), 2),  # tie: bb after cc? no —
+        (2, "cc"): (round(1 * idf["cc"], 6), 1),
+        (3, "cc"): (round(3 * idf["cc"], 6), 1),
+    }
+    # doc 2: bb and cc tie on score, word-asc tiebreak puts bb first
+    want[(2, "bb")] = (round(1 * idf["bb"], 6), 1)
+    want[(2, "cc")] = (round(1 * idf["cc"], 6), 2)
+    assert got == want

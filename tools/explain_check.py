@@ -141,6 +141,27 @@ def main() -> None:
           must_not=("BatchEvalPython", "ArrowEvalPython",
                     "BroadcastNestedLoopJoin", "CartesianProduct"))
 
+    # triangle counting: equi-joins only — the degree-ordered wedge join
+    # must never degrade to a nested-loop/cartesian shape, and the whole
+    # operator stays JVM-side
+    p = plan_of(E.graph_triangles(spark, sf_dir))
+    check("graph_triangles equi-joins", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
+
+    # vocab/tfidf: the ONLY nested-loop allowed is the one-row broadcast
+    # scalar (total tokens / doc count); never a CartesianProduct, never
+    # Python, and top-V arrives via TakeOrderedAndProject not a sort
+    p = plan_of(E.doc_vocab(spark, sf_dir))
+    check("doc_vocab topV", p,
+          must_contain=("TakeOrderedAndProject",),
+          must_not=("CartesianProduct", "BatchEvalPython",
+                    "ArrowEvalPython"))
+    p = plan_of(E.doc_tfidf_keywords(spark, sf_dir))
+    check("doc_tfidf JVM-only", p,
+          must_not=("CartesianProduct", "BatchEvalPython",
+                    "ArrowEvalPython"))
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
