@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 BROADCAST_RANKS_MAX = 2_000_000
+BROADCAST_EDGES_MAX = 4_000_000
 
 
 def _side(df: DataFrame, n_rows: int) -> DataFrame:
@@ -108,22 +109,49 @@ def triangle_count(
     so the wedge join is skew-safe regardless of hub degree. Triangle
     counts are orientation-invariant, so the DuckDB oracle can use the
     simple a<b<c id-ordered form and must agree exactly. All joins are
-    equi-joins on node ids; the only shuffles are the degree agg, the
-    wedge self-join, and the closing-edge semi-join — no cross joins,
-    no driver collect."""
-    # canonical undirected simple edges: (a, b) with a < b
+    equi-joins on node ids; the only shuffles are the degree agg and the
+    wedge self-join. The closing-edge semi-join is the hot spot (wedges
+    outnumber edges ~30x on dense graphs): the edge set is broadcast
+    while its OBSERVED count stays under BROADCAST_EDGES_MAX — the wedge
+    table then never shuffles — and falls back to a shuffled semi-join
+    above it (the 100 TB path). No cross joins, no driver collect."""
+    from pyspark.sql import Observation
+
+    # canonical undirected simple edges: (a, b) with a < b; the edge
+    # count rides the checkpoint via observe() — no extra job
+    obs_e = Observation()
     e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .dropDuplicates(["a", "b"])
+        .observe(obs_e, F.count(F.lit(1)).alias("m"))
         .localCheckpoint()  # degree, orientation and closing join all reuse it
     )
-    deg = (
+    n_edges = obs_e.get["m"]
+    # the degree table is consumed by the orientation joins AND the final
+    # result join; its checkpoint also carries the node-id range so the
+    # closing-edge key can be packed into ONE long (LongHashedRelation
+    # fast path, ~2x the probe rate of a two-column struct key) whenever
+    # ids are integral and provably fit in 32 bits
+    node_type = dict(e0.dtypes)["a"]
+    integral = node_type in ("tinyint", "smallint", "int", "bigint")
+    obs_d = Observation()
+    deg_plan = (
         e0.select(F.col("a").alias("node"))
         .unionByName(e0.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     )
+    if integral:
+        deg = deg_plan.observe(
+            obs_d, F.min("node").alias("lo"), F.max("node").alias("hi")
+        ).localCheckpoint()
+        packable = (
+            n_edges > 0 and obs_d.get["lo"] is not None
+            and obs_d.get["lo"] >= 0 and obs_d.get["hi"] < (1 << 31))
+    else:
+        deg = deg_plan.localCheckpoint()
+        packable = False
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
     ed = e0.join(da, "a").join(db, "b")
@@ -146,11 +174,26 @@ def triangle_count(
         .select(F.col("o1.tail").alias("apex"),
                 F.col("o1.head").alias("x"), F.col("o2.head").alias("y"))
     closing = oriented.select(F.col("tail").alias("x"), F.col("head").alias("y"))
-    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    if packable:
+        pack = F.lit(1 << 32)
+        wk = wedges.withColumn(
+            "k", F.col("x").cast("long") * pack + F.col("y").cast("long"))
+        ck = closing.select(
+            (F.col("x").cast("long") * pack + F.col("y").cast("long"))
+            .alias("k"))
+        tris = wk.join(
+            F.broadcast(ck) if n_edges <= BROADCAST_EDGES_MAX else ck,
+            "k", "left_semi").drop("k")
+    else:
+        tris = wedges.join(
+            F.broadcast(closing) if n_edges <= BROADCAST_EDGES_MAX
+            else closing,
+            ["x", "y"], "left_semi")
+    # ONE traversal of the wedge/semi subtree: explode the three corners
+    # (a 3-way union would re-execute the 30x-fan-out wedge join once
+    # per branch)
     per_node = (
-        tris.select(F.col("apex").alias("node"))
-        .unionByName(tris.select(F.col("x").alias("node")))
-        .unionByName(tris.select(F.col("y").alias("node")))
+        tris.select(F.explode(F.array("apex", "x", "y")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return (
