@@ -743,6 +743,40 @@ def doc_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
 
 
+def graph_communities(spark, sf_dir):
+    """Synchronous label propagation (graph_algos.label_propagation, 5
+    deterministic rounds: most-frequent neighbor label, min-label
+    tiebreak) over the customer->supplier->nation purchase graph; the
+    oracle unrolls the identical recurrence in SQL."""
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        label_propagation,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    sn = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"))
+    return label_propagation(cs.unionByName(sn), n_iter=5)
+
+
+def doc_collocations(spark, sf_dir):
+    """PMI collocation mining (text_analysis.pmi_collocations): top-100
+    adjacent-token bigrams by pointwise mutual information, min_count=5
+    — zip-shift bigrams, one agg per count table, scalars as one-row
+    broadcasts."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"),
+                            k=100, min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -798,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": graph_triangles,
         "doc_vocab": doc_vocab,
         "doc_tfidf_keywords": doc_tfidf_keywords,
+        "graph_communities": graph_communities,
+        "doc_collocations": doc_collocations,
     }
 
 
@@ -1041,6 +1077,48 @@ SELECT kind, raw_type,
        ELSE cand END AS normalized,
   CASE WHEN kind = 'block' THEN TRUE ELSE cand IN ({et}) END AS kept
 FROM j"""
+
+
+def _label_prop_oracle(n_iter: int) -> str:
+    """Unrolled-iteration SQL restatement of
+    graph_algos.label_propagation on the customer->supplier->nation
+    purchase graph: symmetrized distinct edge set, then per round one
+    (votes, labels) CTE pair — most-frequent neighbor label, min-label
+    tiebreak. MATERIALIZED everywhere (DuckDB inlines CTEs by default
+    and the unroll would explode exponentially)."""
+    parts = ["""
+WITH half AS MATERIALIZED (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS v,
+         's' || CAST(l_suppkey AS VARCHAR) AS u
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR),
+         'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+), e AS MATERIALIZED (
+  SELECT DISTINCT v, u FROM (
+    SELECT v, u FROM half UNION ALL SELECT u AS v, v AS u FROM half
+  )
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT v AS node, v AS label FROM e
+)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+v{i} AS MATERIALIZED (
+  SELECT e.v, l.label, count(*) AS n
+  FROM e JOIN l{i - 1} l ON l.node = e.u
+  GROUP BY e.v, l.label
+), l{i} AS MATERIALIZED (
+  SELECT v AS node, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v
+                              ORDER BY n DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node, label FROM l{n_iter}""")
+    return "".join(parts)
 
 
 def _pagerank_oracle(n_iter: int, damping: float, k: int) -> str:
@@ -1703,4 +1781,34 @@ WITH words AS (
   FROM scored
 )
 SELECT doc_id, word, tfidf, rank FROM rk WHERE rank <= 5""",
+        "graph_communities": _label_prop_oracle(n_iter=5),
+        "doc_collocations": r"""
+WITH w AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS wl FROM documents
+), uni AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(wl) AS word FROM w
+  ) WHERE word <> '' GROUP BY word
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni),
+bg AS (
+  SELECT wl[i] AS x, wl[i + 1] AS y
+  FROM w, unnest(range(1, len(wl))) AS r(i)
+  WHERE wl[i] <> '' AND wl[i + 1] <> ''
+), btot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bg),
+bgc AS (
+  SELECT x, y, count(*) AS n_xy FROM bg
+  GROUP BY x, y HAVING count(*) >= 5
+), scored AS (
+  SELECT bgc.x, bgc.y, bgc.n_xy,
+         round(ln((bgc.n_xy / b) / ((ux.n / t) * (uy.n / t))), 6) AS pmi
+  FROM bgc
+  JOIN uni ux ON ux.word = bgc.x
+  JOIN uni uy ON uy.word = bgc.y, tot, btot
+), top AS (
+  SELECT * FROM scored ORDER BY pmi DESC, x ASC, y ASC LIMIT 100
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, x ASC, y ASC) AS INT)
+         AS rank,
+       x, y, n_xy, pmi
+FROM top""",
     }

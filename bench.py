@@ -79,6 +79,7 @@ def main() -> None:
         # round-5 late additions: skew-safe triangle counting, tokenizer
         # vocab coverage, tf-idf keywording
         "graph_triangles", "doc_vocab", "doc_tfidf_keywords",
+        "graph_communities", "doc_collocations",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

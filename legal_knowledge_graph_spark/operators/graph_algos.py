@@ -227,3 +227,54 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", n_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label propagation (community detection), `n_iter`
+    fixed rounds — deterministic: every node starts labeled with its own
+    id; each round every node adopts the most frequent label among its
+    neighbors (undirected), ties broken by the smallest label. Nodes are
+    edge endpoints, so every node has >= 1 neighbor and every round
+    relabels every node. The oracle unrolls the identical recurrence in
+    SQL (MATERIALIZED CTEs).
+
+    Scale shape (100 TB): per round, ONE equi-join of the symmetrized
+    edge table with the node-sized label table (broadcast only while the
+    OBSERVED node count stays under the threshold — the coref/pagerank
+    discipline), one map-side-combined (node, label) vote count, and one
+    per-node argmax window over that node's own candidate labels. Each
+    round's lineage is cut with a checkpoint; no driver-side data."""
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
+    # symmetrize: (v, u) for both directions, self-loops dropped
+    half = edges.select(F.col(src).alias("v"), F.col(dst).alias("u")) \
+        .where(F.col("v") != F.col("u"))
+    e = half.unionByName(half.select(F.col("u").alias("v"),
+                                     F.col("v").alias("u"))) \
+        .dropDuplicates(["v", "u"]).localCheckpoint()
+    obs_n = Observation()
+    labels = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    n_nodes = obs_n.get["n"]
+    w = Window.partitionBy("v").orderBy(F.col("n").desc(), F.col("label").asc())
+    for _ in range(n_iter):
+        neigh = labels.select(F.col("node").alias("u"), "label")
+        votes = (
+            e.join(_side(neigh, n_nodes), "u")
+            .groupBy("v", "label").agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -490,3 +490,83 @@ def tfidf_keywords(
         .where(F.col("rank") <= k)
         .select("doc_id", "word", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, k: int = 100, min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation / phrase mining: top-k adjacent-token bigrams by
+    pointwise mutual information — the standard phrase-vocab step before
+    tokenizer training (word2vec-style phrase joining, BPE merge
+    seeding).
+
+        pmi(x, y) = ln( (n_xy / B) / ((n_x / T) * (n_y / T)) )
+
+    with T = total tokens, B = total bigrams, and bigrams below
+    `min_count` dropped (PMI is noise at low counts). Output:
+    (rank, x, y, n_xy, pmi), pmi rounded to 6, ranked by
+    (pmi desc, x asc, y asc).
+
+    Scale shape (100 TB): bigrams come from a per-row zip-shift
+    (element_at pulls over the words array — no self-join, no UDF); both
+    count tables are ONE map-side-combined agg each (zipfian heads
+    collapse in the partials); T and B ride as one-row broadcast
+    aggregates; the two unigram attachments broadcast only while the
+    OBSERVED vocab size stays under the threshold; top-k via
+    TakeOrderedAndProject. Pure Catalyst end to end."""
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
+    w_docs = docs.select(_split_words(text_col).alias("_w"))
+    words = w_docs.select(F.explode("_w").alias("word")) \
+        .where(F.col("word") != "")
+    # adjacent pairs via zip-shift; sequence() descends when stop < start,
+    # so guard docs with fewer than two tokens
+    bigrams = w_docs.where(F.size("_w") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> struct(element_at(_w, i) as x, "
+            "element_at(_w, i + 1) as y))")).alias("bg")
+    ).select("bg.x", "bg.y").where((F.col("x") != "") & (F.col("y") != ""))
+
+    obs_u = Observation()
+    uni = (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .observe(obs_u, F.sum("n").alias("t"), F.count(F.lit(1)).alias("v"))
+        .localCheckpoint()  # joined twice (x side and y side)
+    )
+    t_total = obs_u.get["t"] or 0
+    if not t_total:
+        return docs.select(
+            F.lit(0).cast("int").alias("rank"),
+            F.lit("").alias("x"), F.lit("").alias("y"),
+            F.lit(0).cast("long").alias("n_xy"),
+            F.lit(0.0).alias("pmi")).limit(0)
+    uni_side = F.broadcast(uni) if obs_u.get["v"] <= 2_000_000 else uni
+    big = bigrams.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy")) \
+        .where(F.col("n_xy") >= min_count)
+    # B is the TOTAL bigram mass (including below-threshold pairs) so the
+    # probabilities stay well-defined under any min_count
+    b_total = bigrams.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    scored = (
+        big
+        .join(uni_side.select(F.col("word").alias("x"),
+                              F.col("n").alias("n_x")), "x")
+        .join(uni_side.select(F.col("word").alias("y"),
+                              F.col("n").alias("n_y")), "y")
+        .join(F.broadcast(b_total))
+        .select(
+            "x", "y", "n_xy",
+            F.round(F.log(
+                (F.col("n_xy") / F.col("b"))
+                / ((F.col("n_x") / F.lit(float(t_total)))
+                   * (F.col("n_y") / F.lit(float(t_total))))), 6).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), F.col("x").asc(),
+                         F.col("y").asc()).limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "x", "y", "n_xy", "pmi")

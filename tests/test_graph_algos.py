@@ -210,3 +210,91 @@ def test_triangle_count_mixed_graph_vs_bruteforce(spark):
 def test_triangle_count_triangle_free(spark):
     # bipartite square: zero triangles everywhere
     _check_triangles(spark, [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")])
+
+
+def _brute_lpa(edge_list, n_iter):
+    """Reference synchronous LPA: most-frequent neighbor label, min-label
+    tiebreak, all nodes relabel every round."""
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v, ns in adj.items():
+            counts = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            top_n = max(counts.values())
+            new[v] = min(l for l, c in counts.items() if c == top_n)
+        labels = new
+    return labels
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        label_propagation,
+    )
+
+    # two triangles joined by one bridge edge; LPA should settle into two
+    # communities matching the reference implementation exactly
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x"),
+             ("b", "a")]  # duplicate reversed edge must collapse
+    for n_iter in (1, 3, 5):
+        want = _brute_lpa(edges, n_iter)
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.label
+               for r in label_propagation(e, n_iter=n_iter).collect()}
+        assert got == want, n_iter
+
+
+def test_label_propagation_star_converges_to_hub_vote(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        label_propagation,
+    )
+
+    # star: hub h with leaves l1..l4 — after round 1 every leaf takes h's
+    # label and h takes the min leaf label; matches reference
+    edges = [("h", f"l{i}") for i in range(1, 5)]
+    want = _brute_lpa(edges, 2)
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label for r in label_propagation(e, n_iter=2).collect()}
+    assert got == want
+
+
+def test_pmi_collocations_closed_form(spark):
+    import math
+
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    # "aa bb" x3 and "aa cc" x1 in one doc stream; min_count=2 keeps only
+    # (aa,bb) and the in-between (bb,aa) pairs
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb aa bb aa cc")], "doc_id long, text string")
+    rows = pmi_collocations(docs, k=10, min_count=2).collect()
+    got = {(r.x, r.y): (r.n_xy, r.pmi, r.rank) for r in rows}
+    # tokens: aa x4, bb x3, cc x1 (T=8); bigrams: (aa,bb) x3, (bb,aa) x3,
+    # (aa,cc) x1 (B=7); min_count=2 keeps the first two, which tie on pmi
+    # (symmetric product) and break on x asc
+    t, b = 8.0, 7.0
+    def pmi(nxy, nx, ny):
+        return round(math.log((nxy / b) / ((nx / t) * (ny / t))), 6)
+    assert got == {
+        ("aa", "bb"): (3, pmi(3, 4, 3), 1),
+        ("bb", "aa"): (3, pmi(3, 3, 4), 2),
+    }
+
+
+def test_pmi_collocations_empty_and_short_docs(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "  ")], "doc_id long, text string")
+    assert pmi_collocations(docs, k=5, min_count=1).count() == 0

@@ -162,6 +162,18 @@ def main() -> None:
           must_not=("CartesianProduct", "BatchEvalPython",
                     "ArrowEvalPython"))
 
+    # label propagation: per-round equi-join + window argmax only
+    p = plan_of(E.graph_communities(spark, sf_dir))
+    check("graph_communities equi-joins", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
+    # PMI: zip-shift bigrams (no self-join), top-k never a global sort
+    p = plan_of(E.doc_collocations(spark, sf_dir))
+    check("doc_collocations topk", p,
+          must_contain=("TakeOrderedAndProject",),
+          must_not=("CartesianProduct", "BatchEvalPython",
+                    "ArrowEvalPython"))
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
