@@ -777,6 +777,35 @@ def doc_collocations(spark, sf_dir):
                             k=100, min_count=5)
 
 
+MIX_TARGET = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def doc_mixture_plan(spark, sf_dir):
+    """Data-mixing plan (sampling.mixture_weights): per-language observed
+    share vs target mixture, reweighting factor and the downsample-only
+    acceptance rate realizing the target. Scalars attach as one-row
+    broadcast aggregates over the stratum-sized count table."""
+    from legal_knowledge_graph_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), "lang",
+                           MIX_TARGET)
+
+
+def doc_mixture_sample(spark, sf_dir):
+    """Deterministic mixture resampling (sampling.resample_to_mixture):
+    broadcast stratum->acceptance-rate join + the engine-portable
+    md5-prefix hash filter, so DuckDB replays the selection verbatim."""
+    from legal_knowledge_graph_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    return resample_to_mixture(
+        _t(spark, sf_dir, "documents"), "lang", MIX_TARGET, seed=7,
+    ).select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -834,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_keywords": doc_tfidf_keywords,
         "graph_communities": graph_communities,
         "doc_collocations": doc_collocations,
+        "doc_mixture_plan": doc_mixture_plan,
+        "doc_mixture_sample": doc_mixture_sample,
     }
 
 
@@ -1119,6 +1150,29 @@ v{i} AS MATERIALIZED (
     parts.append(f"""
 SELECT node, label FROM l{n_iter}""")
     return "".join(parts)
+
+
+def _mixture_cte(target: dict[str, float]) -> str:
+    """Shared CTE chain restating sampling.mixture_weights on
+    documents.lang: normalized target fractions are computed in PYTHON
+    and inlined via repr() (shortest round-trip — DuckDB parses back the
+    IDENTICAL double, sidestepping cross-engine float-literal-sum
+    ordering), and every arithmetic step mirrors the Spark op order."""
+    tgt_total = sum(float(v) for v in target.values()) or 1.0
+    case = " ".join(
+        f"WHEN '{k}' THEN CAST({float(target[k]) / tgt_total!r} AS DOUBLE)"
+        for k in sorted(target))
+    return f"""
+WITH counts AS (
+  SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY lang
+), tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM counts),
+w AS (
+  SELECT stratum, n_docs, n_docs / t AS actual_frac,
+         CASE stratum {case} ELSE CAST(0.0 AS DOUBLE) END AS target_frac
+  FROM counts, tot
+), w2 AS (
+  SELECT *, target_frac / actual_frac AS weight FROM w
+), m AS (SELECT max(weight) AS wmax FROM w2)"""
 
 
 def _pagerank_oracle(n_iter: int, damping: float, k: int) -> str:
@@ -1811,4 +1865,17 @@ SELECT CAST(row_number() OVER (ORDER BY pmi DESC, x ASC, y ASC) AS INT)
          AS rank,
        x, y, n_xy, pmi
 FROM top""",
+        "doc_mixture_plan": _mixture_cte(MIX_TARGET) + """
+SELECT stratum, n_docs,
+       round(actual_frac, 6) AS actual_frac,
+       round(target_frac, 6) AS target_frac,
+       round(weight, 6) AS weight,
+       round(weight / wmax, 6) AS accept_frac
+FROM w2, m""",
+        "doc_mixture_sample": _mixture_cte(MIX_TARGET) + """,
+rates AS (SELECT stratum, weight / wmax AS accept_frac FROM w2, m)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r ON d.lang = r.stratum
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+      < r.accept_frac * 4294967296""",
     }

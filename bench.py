@@ -80,6 +80,7 @@ def main() -> None:
         # vocab coverage, tf-idf keywording
         "graph_triangles", "doc_vocab", "doc_tfidf_keywords",
         "graph_communities", "doc_collocations",
+        "doc_mixture_plan", "doc_mixture_sample",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

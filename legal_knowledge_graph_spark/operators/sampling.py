@@ -104,3 +104,84 @@ def _salted_topk_candidates(
     ).orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return (slim.withColumn("_rk", F.row_number().over(w1))
             .where(F.col("_rk") <= k).drop("_rk"))
+
+
+def mixture_weights(
+    docs: DataFrame, strata_col: str, target: dict[str, float],
+) -> DataFrame:
+    """Data-mixing plan (the DoReMi/Pile-style reweighting step): given a
+    target mixture over strata (normalized over its keys), report per
+    stratum the observed share and the downsample-only acceptance rate
+    that realizes the target.
+
+    Output: (stratum, n_docs, actual_frac, target_frac, weight,
+    accept_frac) with weight = target_frac / actual_frac and accept_frac
+    = weight / max(weight over targeted strata) — the largest pure-
+    downsampling rates whose post-sample mixture equals `target`
+    (strata missing from `target` get 0.0 and are dropped entirely).
+    Fractions rounded to 6.
+
+    Scale shape (100 TB): ONE map-side-combined count agg produces a
+    stratum-sized table; the corpus total and the max weight attach as
+    one-row broadcast aggregates over that tiny table — no windows over
+    data, no driver collect. The target dict compiles to a CASE chain."""
+    tgt_total = sum(float(v) for v in target.values()) or 1.0
+    tgt = F.lit(0.0)
+    for k in sorted(target):
+        tgt = F.when(F.col("stratum") == k,
+                     F.lit(float(target[k]) / tgt_total)).otherwise(tgt)
+    counts = (
+        docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()  # total, max-weight and the result all read it
+    )
+    total = counts.agg(F.sum("n_docs").cast("double").alias("_t"))
+    w = counts.join(F.broadcast(total)).select(
+        "stratum", "n_docs",
+        (F.col("n_docs") / F.col("_t")).alias("actual_frac"),
+        tgt.alias("target_frac"),
+    ).withColumn("weight", F.col("target_frac") / F.col("actual_frac"))
+    wmax = w.agg(F.max("weight").alias("_wmax"))
+    return w.join(F.broadcast(wmax)).select(
+        "stratum", "n_docs",
+        F.round("actual_frac", 6).alias("actual_frac"),
+        F.round("target_frac", 6).alias("target_frac"),
+        F.round("weight", 6).alias("weight"),
+        F.round(F.col("weight") / F.col("_wmax"), 6).alias("accept_frac"),
+    )
+
+
+def resample_to_mixture(
+    docs: DataFrame, strata_col: str, target: dict[str, float],
+    seed: int = 42, id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically downsample `docs` so the surviving stratum
+    mixture matches `target` in expectation: keep a row iff
+    hash32(id, seed) < accept_frac(stratum) * 2^32, with accept_frac
+    from mixture_weights (the UNROUNDED rates, recomputed inline).
+
+    Scale shape: the stratum-keyed rate table is tiny and broadcast into
+    one equi-join; the acceptance test is the same pure-filter hash as
+    stratified_sample — zero extra shuffle over the corpus, reproducible
+    at any parallelism."""
+    tgt_total = sum(float(v) for v in target.values()) or 1.0
+    tgt = F.lit(0.0)
+    for k in sorted(target):
+        tgt = F.when(F.col("stratum") == k,
+                     F.lit(float(target[k]) / tgt_total)).otherwise(tgt)
+    counts = docs.groupBy(F.col(strata_col).alias("stratum")) \
+        .agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint()
+    total = counts.agg(F.sum("n_docs").cast("double").alias("_t"))
+    w = counts.join(F.broadcast(total)).select(
+        "stratum",
+        (tgt / (F.col("n_docs") / F.col("_t"))).alias("weight"))
+    wmax = w.agg(F.max("weight").alias("_wmax"))
+    rates = w.join(F.broadcast(wmax)).select(
+        "stratum", (F.col("weight") / F.col("_wmax")).alias("accept_frac"))
+    return (
+        docs.join(F.broadcast(rates),
+                  docs[strata_col] == rates["stratum"])
+        .where(_hash32(id_col, seed)
+               < F.col("accept_frac") * F.lit(HASH_SPACE))
+        .drop("stratum", "accept_frac")
+    )

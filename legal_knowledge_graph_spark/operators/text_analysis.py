@@ -511,8 +511,10 @@ def pmi_collocations(
     Scale shape (100 TB): bigrams come from a per-row zip-shift
     (element_at pulls over the words array — no self-join, no UDF); both
     count tables are ONE map-side-combined agg each (zipfian heads
-    collapse in the partials); T and B ride as one-row broadcast
-    aggregates; the two unigram attachments broadcast only while the
+    collapse in the partials), and the corpus is scanned exactly twice
+    (once per count table): T rides the unigram checkpoint and B the
+    PRE-threshold bigram checkpoint via observe() — no third pass, no
+    scalar jobs; the two unigram attachments broadcast only while the
     OBSERVED vocab size stays under the threshold; top-k via
     TakeOrderedAndProject. Pure Catalyst end to end."""
     from pyspark.sql import Observation
@@ -544,22 +546,33 @@ def pmi_collocations(
             F.lit(0).cast("long").alias("n_xy"),
             F.lit(0.0).alias("pmi")).limit(0)
     uni_side = F.broadcast(uni) if obs_u.get["v"] <= 2_000_000 else uni
-    big = bigrams.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy")) \
-        .where(F.col("n_xy") >= min_count)
     # B is the TOTAL bigram mass (including below-threshold pairs) so the
-    # probabilities stay well-defined under any min_count
-    b_total = bigrams.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    # probabilities stay well-defined under any min_count — it rides the
+    # pre-threshold agg's checkpoint, which the filtered table then reads
+    obs_b = Observation()
+    big_all = (
+        bigrams.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+        .observe(obs_b, F.sum("n_xy").alias("b"))
+        .localCheckpoint()
+    )
+    b_total = float(obs_b.get["b"] or 0)
+    if not b_total:
+        return docs.select(
+            F.lit(0).cast("int").alias("rank"),
+            F.lit("").alias("x"), F.lit("").alias("y"),
+            F.lit(0).cast("long").alias("n_xy"),
+            F.lit(0.0).alias("pmi")).limit(0)
+    big = big_all.where(F.col("n_xy") >= min_count)
     scored = (
         big
         .join(uni_side.select(F.col("word").alias("x"),
                               F.col("n").alias("n_x")), "x")
         .join(uni_side.select(F.col("word").alias("y"),
                               F.col("n").alias("n_y")), "y")
-        .join(F.broadcast(b_total))
         .select(
             "x", "y", "n_xy",
             F.round(F.log(
-                (F.col("n_xy") / F.col("b"))
+                (F.col("n_xy") / F.lit(b_total))
                 / ((F.col("n_x") / F.lit(float(t_total)))
                    * (F.col("n_y") / F.lit(float(t_total))))), 6).alias("pmi"),
         )

@@ -930,3 +930,53 @@ def test_tfidf_keywords_closed_form(spark):
     want[(2, "bb")] = (round(1 * idf["bb"], 6), 1)
     want[(2, "cc")] = (round(1 * idf["cc"], 6), 2)
     assert got == want
+
+
+def test_mixture_weights_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 2 else "b") for i in range(8)],
+        "doc_id long, lang string")
+    rows = {r.stratum: r for r in
+            mixture_weights(docs, "lang", {"a": 0.5, "b": 0.5}).collect()}
+    # a: 2/8 observed vs 0.5 target -> weight 2.0 (the scarce stratum
+    # anchors accept=1.0); b: 6/8 vs 0.5 -> weight 2/3, accept 1/3
+    assert rows["a"].actual_frac == 0.25 and rows["a"].weight == 2.0
+    assert rows["a"].accept_frac == 1.0
+    assert rows["b"].weight == round(0.5 / 0.75, 6)
+    assert rows["b"].accept_frac == round((0.5 / 0.75) / 2.0, 6)
+
+
+def test_resample_to_mixture_replays_hash_and_hits_target(spark):
+    import hashlib
+
+    from legal_knowledge_graph_spark.operators.sampling import (
+        resample_to_mixture,
+    )
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    target = {"a": 0.5, "b": 0.5}
+    got = resample_to_mixture(docs, "lang", target, seed=7)
+    kept = sorted(r.doc_id for r in got.collect())
+    # python replay: same counts -> same rates -> same md5-prefix filter
+    from collections import Counter
+    cnt = Counter(l for _, l in rows)
+    t = float(len(rows))
+    w = {s: (target[s] / (n / t)) for s, n in cnt.items()}
+    wmax = max(w.values())
+    rate = {s: v / wmax for s, v in w.items()}
+    def h32(i):
+        return int(hashlib.md5(f"{i}:7".encode()).hexdigest()[:8], 16)
+    want = sorted(i for i, l in rows if h32(i) < rate[l] * (1 << 32))
+    assert kept == want
+    # deterministic across runs
+    again = sorted(r.doc_id for r in
+                   resample_to_mixture(docs, "lang", target, seed=7).collect())
+    assert again == kept
+    # the scarce stratum (b, 25% observed vs 50% target) is kept whole
+    kept_langs = Counter(l for i, l in rows if i in set(kept))
+    assert kept_langs["b"] == cnt["b"]

@@ -173,6 +173,13 @@ def main() -> None:
           must_contain=("TakeOrderedAndProject",),
           must_not=("CartesianProduct", "BatchEvalPython",
                     "ArrowEvalPython"))
+    # mixture resample: rate table broadcast into ONE hash join over the
+    # corpus, acceptance filter stays a pure projection (no window)
+    p = plan_of(E.doc_mixture_sample(spark, sf_dir))
+    check("doc_mixture_sample broadcast", p,
+          must_contain=("BroadcastHashJoin",),
+          must_not=("CartesianProduct", "BatchEvalPython",
+                    "ArrowEvalPython", "Window"))
 
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
