@@ -806,6 +806,38 @@ def doc_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+BM25_QUERIES = {
+    "q_join": ["hash", "join", "merge"],
+    "q_scan": ["scan", "filter", "column"],
+    "q_stream": ["stream", "window", "zzzunseen"],
+}
+
+
+def doc_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (text_analysis.bm25_scores): three literal
+    term queries scored in one codegen projection (array-filter tf, no
+    posting-list shuffle), corpus stats as a one-row broadcast, top-10
+    per query. The third query carries a zero-df term to exercise the
+    idf edge."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        bm25_scores,
+    )
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), BM25_QUERIES,
+                       k1=1.2, b=0.75, topk=10)
+
+
+def doc_dup_spans(spark, sf_dir):
+    """Duplicate-passage manifest (dedup.duplicate_spans, the Lee et al.
+    2022 substring-dedup shape): maximal token spans whose every 5-token
+    window appears in >= 2 distinct documents — positional zip-shift
+    windows, distinct-(doc,window) dup set, LEFT SEMI mark, per-doc
+    gaps-and-islands merge. Integer-exact oracle."""
+    from legal_knowledge_graph_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -865,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": doc_collocations,
         "doc_mixture_plan": doc_mixture_plan,
         "doc_mixture_sample": doc_mixture_sample,
+        "doc_dup_spans": doc_dup_spans,
+        "doc_bm25": doc_bm25,
     }
 
 
@@ -1222,6 +1256,61 @@ SELECT node, pr, rk FROM (
   FROM p{n_iter}
 ) WHERE rk <= {k}""")
     return "".join(parts)
+
+
+def _bm25_oracle(queries: dict, k1: float, b: float, topk: int) -> str:
+    """SQL restatement of text_analysis.bm25_scores with the identical
+    operator order (0 + t1 + t2 + ..., (N-df+0.5)/(df+0.5)+1 inside ln,
+    tf*(k1+1) before the divide) and every literal a repr()-inlined
+    DOUBLE — dl/df are integral doubles, the per-doc arithmetic is
+    scalar, so both engines agree to the last ulp before round(,4)."""
+    k1r, br = repr(float(k1)), repr(float(b))
+    qitems = sorted(queries.items())
+    tf_defs, df_defs = [], []
+    for qi, (_, terms) in enumerate(qitems):
+        for ti, t in enumerate(terms):
+            tf_defs.append(
+                f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE)"
+                f" AS tf_{qi}_{ti}")
+            df_defs.append(
+                f"sum(CASE WHEN tf_{qi}_{ti} > 0 THEN CAST(1 AS DOUBLE)"
+                f" ELSE CAST(0 AS DOUBLE) END) AS df_{qi}_{ti}")
+    branches = []
+    for qi, (qid, terms) in enumerate(qitems):
+        score = "CAST(0 AS DOUBLE)"
+        for ti in range(len(terms)):
+            tf, df = f"tf_{qi}_{ti}", f"df_{qi}_{ti}"
+            idf = f"ln((n_docs - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+            den = (f"({tf} + {k1r} * (1.0 - {br} + {br} * dl"
+                   f" / (sum_dl / n_docs)))")
+            score = f"{score} + {idf} * ({tf} * ({k1r} + 1.0)) / {den}"
+        branches.append(
+            f"SELECT doc_id, '{qid}' AS query_id, {score} AS score"
+            f" FROM tf, st")
+    un = "\n  UNION ALL ".join(branches)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+         {", ".join(tf_defs)}
+  FROM toks
+), st AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl,
+         {", ".join(df_defs)}
+  FROM tf
+), scored AS (
+  {un}
+)
+SELECT query_id, rk, doc_id, bm25 FROM (
+  SELECT query_id, doc_id, round(score, 4) AS bm25,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 4) DESC, doc_id ASC) AS INT) AS rk
+  FROM scored WHERE score > 0
+) WHERE rk <= {topk}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1878,4 +1967,36 @@ SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN rates r ON d.lang = r.stratum
 WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
+        "doc_bm25": _bm25_oracle(BM25_QUERIES, k1=1.2, b=0.75, topk=10),
+        "doc_dup_spans": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS win
+  FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+), dup AS (
+  SELECT win FROM (SELECT DISTINCT doc_id, win FROM pos)
+  GROUP BY win HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, i FROM pos WHERE win IN (SELECT win FROM dup)
+), lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM hits
+), isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev IS NULL OR i > prev + 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM lagged
+)
+SELECT doc_id, CAST(g AS INT) AS span_no,
+       CAST(min(i) AS INT) AS span_start,
+       CAST(max(i) + 4 AS INT) AS span_end,
+       CAST(max(i) + 4 - min(i) + 1 AS INT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, g""",
     }

@@ -612,3 +612,78 @@ def embedding_near_dup_exact(
         .where(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, text_col: str = "text", k: int = 5, min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-passage detection (the suffix-array substring-dedup
+    shape of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed relationally): every maximal token span
+    whose every k-token window also appears in >= `min_docs` distinct
+    documents. The span manifest is what a removal pass consumes — unlike
+    doc-level near-dup (minhash/simhash), this catches boilerplate
+    passages embedded in otherwise-unique documents.
+
+    Output: (doc_id, span_no, span_start, span_end, span_tokens,
+    n_windows) with 1-based token positions, span_no ordering spans
+    within a doc. Integer-exact, so the SQL oracle must agree bit-for-bit.
+
+    Scale shape (100 TB): positional k-gram windows are emitted in one
+    projection (zip-shift concat, no per-window slice); the duplicated-
+    window set is a hash agg keyed on the window text (distinct
+    (doc, window) first, so a window repeated inside one doc does not
+    fake corpus-level duplication); marking is a LEFT SEMI equi-join on
+    the window key (linear, no fan-out — a window shared by 10^6 docs is
+    one row on the build side); span merge is a per-doc gaps-and-islands
+    window (partition by doc_id — bounded by doc length, never corpus-
+    skewed). No cross joins, no driver-side data.
+
+    Reference parity note: the reference dedups at whole-document level
+    only (content-hash node MERGE, /root/reference/src/neo4j/models.py);
+    passage-level dedup is part of the training-data surface this engine
+    adds on top."""
+    from pyspark.sql.window import Window
+
+    w = F.col("_w")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sh = F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(w, i + 1 + j) for j in range(1, k)]))
+    pos_windows = (
+        docs.withColumn("_w", words).where(F.size(w) >= k)
+        .select("doc_id", F.posexplode(sh).alias("_p0", "window"))
+        .select("doc_id", (F.col("_p0") + 1).alias("pos"), "window")
+    )
+    dup_set = (
+        pos_windows.select("doc_id", "window").distinct()
+        .groupBy("window").agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("window")
+    )
+    hits = pos_windows.join(dup_set, "window", "left_semi")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    new_island = F.when(
+        prev.isNull() | (F.col("pos") > prev + k), F.lit(1)).otherwise(F.lit(0))
+    islands = hits.withColumn(
+        "_isl", F.sum(new_island).over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("_isl").cast("int").alias("span_no"),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int").alias("span_tokens"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+    )

@@ -583,3 +583,96 @@ def pmi_collocations(
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"),
         "x", "y", "n_xy", "pmi")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a small set of ad-hoc
+    term queries (Robertson/Sparck-Jones; the Lucene `+1` idf form so the
+    weight is always positive): per (query, doc)
+
+        score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)
+
+    Output: (query_id, rk, doc_id, bm25) — top-`topk` docs per query by
+    rounded score, doc_id tiebreak, zero-score docs dropped.
+
+    Scale shape (100 TB): query terms are compile-time literals, so term
+    frequencies are per-row array-filter counts inside ONE whole-stage-
+    codegen projection — no explode, no (doc, term) shuffle, no join
+    against a posting table. Corpus statistics (N, sum dl, per-term df)
+    reduce to ONE aggregate row attached back as a broadcast (the
+    tfidf/mixture discipline), so the whole operator is two scan passes
+    + a per-query top-k (TakeOrderedAndProject via the rank window over
+    ~topk survivors per partition). dl and df are integral doubles and
+    the per-doc arithmetic is scalar, so the SQL oracle agrees to the
+    last ulp (sum(dl) over integers is exact in double below 2^53).
+
+    Reference parity note: the reference's retrieval surface is Neo4j
+    MATCH + mention counts (/root/reference/src/neo4j/models.py:100-159);
+    ranked full-text retrieval over the ingested corpus is part of the
+    training-data surface this engine adds."""
+    from pyspark.sql.window import Window
+
+    def _eq(term):
+        # NB: a `lambda x, t=t:` default-arg capture would make F.filter
+        # treat it as the (element, index) two-arg form
+        return lambda x: x == F.lit(term)
+
+    qitems = sorted(queries.items())
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tf_cols = []
+    for qi, (_, terms) in enumerate(qitems):
+        for ti, t in enumerate(terms):
+            tf_cols.append(
+                F.size(F.filter(F.col("_w"), _eq(t)))
+                .cast("double").alias(f"tf_{qi}_{ti}"))
+    base = (
+        docs.withColumn("_w", words)
+        .select(
+            "doc_id",
+            F.size(F.filter(F.col("_w"), lambda x: x != F.lit("")))
+            .cast("double").alias("dl"),
+            *tf_cols,
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{qi}_{ti}") > 0).cast("double"))
+          .alias(f"df_{qi}_{ti}")
+          for qi, (_, terms) in enumerate(qitems)
+          for ti in range(len(terms))],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    n, avgdl = F.col("n_docs"), F.col("sum_dl") / F.col("n_docs")
+    per_query = []
+    for qi, (qid, terms) in enumerate(qitems):
+        score = F.lit(0.0)
+        for ti in range(len(terms)):
+            tf = F.col(f"tf_{qi}_{ti}")
+            df = F.col(f"df_{qi}_{ti}")
+            idf = F.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            den = tf + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+            score = score + idf * (tf * (k1 + 1.0)) / den
+        per_query.append(
+            F.struct(F.lit(qid).alias("query_id"), score.alias("score")))
+    pairs = (
+        joined.select("doc_id", F.explode(F.array(*per_query)).alias("s"))
+        .select("doc_id", F.col("s.query_id").alias("query_id"),
+                F.col("s.score").alias("score"))
+        .where(F.col("score") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= topk)
+        .select("query_id", "rk", "doc_id", F.round("score", 4).alias("bm25"))
+    )

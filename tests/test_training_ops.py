@@ -980,3 +980,100 @@ def test_resample_to_mixture_replays_hash_and_hits_target(spark):
     # the scarce stratum (b, 25% observed vs 50% target) is kept whole
     kept_langs = Counter(l for i, l in rows if i in set(kept))
     assert kept_langs["b"] == cnt["b"]
+
+
+def test_duplicate_spans_manifest(spark):
+    from legal_knowledge_graph_spark.operators.dedup import duplicate_spans
+
+    # t1..t20 vocab; the shared passage is tokens p1..p8 (eight tokens =
+    # four 5-token windows when embedded verbatim)
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        # doc 1: shared passage at positions 3..10, then unique tail,
+        # then the shared passage AGAIN at 21..28 (second island)
+        (1, "u1 u2 " + shared + " " + " ".join(f"x{i}" for i in range(10))
+            + " " + shared),
+        # doc 2: shared passage at the very start (positions 1..8)
+        (2, shared + " y1 y2 y3 y4 y5"),
+        # doc 3: a WITHIN-DOC repeated 5-gram that appears nowhere else —
+        # must NOT be flagged (dup set counts distinct docs)
+        (3, "q1 q2 q3 q4 q5 z1 z2 q1 q2 q3 q4 q5"),
+        # doc 4: no overlap at all
+        (4, " ".join(f"w{i}" for i in range(12))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(docs, k=5, min_docs=2)
+    got = {(r.doc_id, r.span_no): (r.span_start, r.span_end,
+                                   r.span_tokens, r.n_windows)
+           for r in out.collect()}
+    assert got == {
+        (1, 1): (3, 10, 8, 4),     # windows at 3,4,5,6 -> span 3..10
+        (1, 2): (21, 28, 8, 4),    # gap splits the islands
+        (2, 1): (1, 8, 8, 4),
+    }
+    # determinism across runs
+    again = {(r.doc_id, r.span_no): (r.span_start, r.span_end,
+                                     r.span_tokens, r.n_windows)
+             for r in duplicate_spans(docs, k=5, min_docs=2).collect()}
+    assert again == got
+
+
+def test_duplicate_spans_merges_touching_islands(spark):
+    from legal_knowledge_graph_spark.operators.dedup import duplicate_spans
+
+    # two docs share two DISJOINT 5-grams placed back-to-back in doc 1
+    # (windows at pos 1 and pos 6: spans 1..5 and 6..10 touch -> one span)
+    a, b = "a1 a2 a3 a4 a5", "b1 b2 b3 b4 b5"
+    docs = spark.createDataFrame(
+        [(1, a + " " + b), (2, a + " z1 z2 z3 z4 z5 " + b)],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.span_no): (r.span_start, r.span_end, r.n_windows)
+           for r in duplicate_spans(docs, k=5, min_docs=2).collect()}
+    assert got[(1, 1)] == (1, 10, 2)          # merged into one maximal span
+    assert got[(2, 1)] == (1, 5, 1)           # doc 2 keeps them separate
+    assert got[(2, 2)] == (11, 15, 1)
+
+
+def test_bm25_closed_form(spark):
+    import math
+
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        bm25_scores,
+    )
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana date"),
+        (3, "cherry date elderberry fig grape"),
+        (4, "apple"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k1, b = 1.2, 0.75
+    got = {(r.query_id, r.doc_id): (r.rk, r.bm25)
+           for r in bm25_scores(docs, {"qa": ["apple", "banana"]},
+                                k1=k1, b=b, topk=10).collect()}
+
+    toks = [t[1].split() for t in rows]
+    N, avgdl = 4.0, sum(len(w) for w in toks) / 4.0
+
+    def score(widx):
+        s = 0.0
+        for t in ["apple", "banana"]:
+            tf = float(toks[widx].count(t))
+            df = float(sum(1 for w in toks if t in w))
+            idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks[widx]) / avgdl))
+        return round(s, 4)
+
+    # docs 1,2,4 match; doc 3 has score 0 and must be absent
+    want_scores = {i + 1: score(i) for i in range(4) if score(i) > 0}
+    assert set(got) == {("qa", d) for d in want_scores}
+    for d, sc in want_scores.items():
+        assert got[("qa", d)][1] == pytest.approx(sc, abs=1e-9)
+    # ranks follow (rounded score desc, doc_id asc)
+    order = sorted(want_scores, key=lambda d: (-want_scores[d], d))
+    assert [got[("qa", d)][0] for d in order] == [1, 2, 3]
+    # zero-df query term contributes nothing and breaks nothing
+    z = bm25_scores(docs, {"qz": ["zzz", "apple"]}, topk=2).collect()
+    assert all(r.query_id == "qz" for r in z) and len(z) == 2
