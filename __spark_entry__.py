@@ -806,6 +806,35 @@ def doc_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (graph_algos.hits: L1-normalized, 5 fixed
+    iterations, normalization constants riding each half-step's
+    checkpoint via observe()) over the customer->supplier->nation
+    purchase graph; top 20 by rounded authority with deterministic
+    tiebreak — the oracle unrolls the identical recurrence in SQL."""
+    from pyspark.sql.window import Window
+
+    from legal_knowledge_graph_spark.operators.graph_algos import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    sn = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"))
+    out = hits(cs.unionByName(sn), n_iter=5)
+    top = (
+        out.select("node", F.round("hub", 6).alias("hub"),
+                   F.round("auth", 6).alias("auth"))
+        .orderBy(F.col("auth").desc(), F.col("node").asc()).limit(20)
+    )
+    w = Window.orderBy(F.col("auth").desc(), F.col("node").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
 BM25_QUERIES = {
     "q_join": ["hash", "join", "merge"],
     "q_scan": ["scan", "filter", "column"],
@@ -899,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": doc_mixture_sample,
         "doc_dup_spans": doc_dup_spans,
         "doc_bm25": doc_bm25,
+        "graph_hits": graph_hits,
     }
 
 
@@ -1311,6 +1341,56 @@ SELECT query_id, rk, doc_id, bm25 FROM (
               ORDER BY round(score, 4) DESC, doc_id ASC) AS INT) AS rk
   FROM scored WHERE score > 0
 ) WHERE rk <= {topk}"""
+
+
+def _hits_oracle(n_iter: int, k: int) -> str:
+    """Unrolled-iteration SQL restatement of graph_algos.hits on the
+    purchase graph: per iteration an (a_raw, a_norm, h_raw, h_norm) CTE
+    quartet; each normalization divides PER ROW by the scalar sum of the
+    same raw table (exactly what the Spark operator does with its
+    observe()d constant), so the engines agree to summation-order ulp
+    before round(,6)."""
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR),
+                  'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+hn0 AS MATERIALIZED (
+  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS h FROM nodes
+)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.h) AS a
+  FROM e JOIN hn{i - 1} h ON h.node = e.src GROUP BY e.dst
+), an{i} AS MATERIALIZED (
+  SELECT node, a / (SELECT sum(a) FROM a{i}) AS a FROM a{i}
+), h{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(an.a) AS hh
+  FROM e JOIN an{i} an ON an.node = e.dst GROUP BY e.src
+), hn{i} AS MATERIALIZED (
+  SELECT node, hh / (SELECT sum(hh) FROM h{i}) AS h FROM h{i}
+)""")
+    parts.append(f"""
+SELECT node, hub, auth, rk FROM (
+  SELECT n.node,
+         round(coalesce(h.h, CAST(0 AS DOUBLE)), 6) AS hub,
+         round(coalesce(a.a, CAST(0 AS DOUBLE)), 6) AS auth,
+         CAST(row_number() OVER (
+              ORDER BY round(coalesce(a.a, CAST(0 AS DOUBLE)), 6) DESC,
+                       n.node ASC) AS INT) AS rk
+  FROM nodes n
+  LEFT JOIN hn{n_iter} h ON h.node = n.node
+  LEFT JOIN an{n_iter} a ON a.node = n.node
+) WHERE rk <= {k}""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1967,6 +2047,7 @@ SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN rates r ON d.lang = r.stratum
 WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
+        "graph_hits": _hits_oracle(n_iter=5, k=20),
         "doc_bm25": _bm25_oracle(BM25_QUERIES, k1=1.2, b=0.75, topk=10),
         "doc_dup_spans": r"""
 WITH toks AS (

@@ -278,3 +278,73 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def hits(
+    edges: DataFrame, src: str = "src", dst: str = "dst", n_iter: int = 5,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg), `n_iter` fixed iterations
+    with L1 normalization — deterministic given the edge set, so the
+    oracle unrolls the identical recurrence in SQL:
+
+        a_t(v) = sum_{u->v} h_{t-1}(u);   a_t /= sum(a_t)
+        h_t(u) = sum_{u->v} a_t(v);       h_t /= sum(h_t)
+
+    starting from h_0 = 1/N on every node. Returns (node, hub, auth)
+    for every node (0.0 where a node has no out-/in-edges).
+
+    Scale shape (100 TB): the pagerank discipline verbatim — the edge
+    table is the fat side, joined once per half-step on its key against
+    a node-sized score table (broadcast only under the OBSERVED node
+    count, else shuffle; AQE reuses the exchange); each half-step's
+    normalization constant rides its checkpoint via observe(), so
+    normalizing is a projection, never an extra job; no driver-side
+    node data."""
+    from pyspark.sql import Observation
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .dropDuplicates(["src", "dst"]).localCheckpoint()
+    obs_n = Observation()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_nodes = obs_n.get["n"]
+    if n_nodes == 0:
+        return nodes.withColumn("hub", F.lit(0.0)) \
+            .withColumn("auth", F.lit(0.0))
+
+    h = nodes.select("node", F.lit(1.0 / n_nodes).alias("h"))
+    a_norm = None
+    for _ in range(n_iter):
+        obs_a = Observation()
+        a_raw = (
+            e.join(_side(h, n_nodes), h["node"] == e["src"])
+            .groupBy("dst").agg(F.sum("h").alias("a"))
+            .observe(obs_a, F.sum("a").alias("s"))
+            .localCheckpoint()
+        )
+        sa = obs_a.get["s"] or 1.0  # nonempty e => sa > 0
+        a_norm = a_raw.select(
+            F.col("dst").alias("node"), (F.col("a") / F.lit(sa)).alias("a"))
+        obs_h = Observation()
+        h_raw = (
+            e.join(_side(a_norm, n_nodes), a_norm["node"] == e["dst"])
+            .groupBy("src").agg(F.sum("a").alias("hh"))
+            .observe(obs_h, F.sum("hh").alias("s"))
+            .localCheckpoint()
+        )
+        sh = obs_h.get["s"] or 1.0
+        h = h_raw.select(
+            F.col("src").alias("node"), (F.col("hh") / F.lit(sh)).alias("h"))
+    return (
+        nodes.join(h, "node", "left").join(a_norm, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("a", F.lit(0.0)).alias("auth"),
+        )
+    )

@@ -4,6 +4,8 @@ reference-implementation checks on hand-built fixtures."""
 
 import math
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -298,3 +300,44 @@ def test_pmi_collocations_empty_and_short_docs(spark):
     docs = spark.createDataFrame(
         [(1, ""), (2, "solo"), (3, "  ")], "doc_id long, text string")
     assert pmi_collocations(docs, k=5, min_count=1).count() == 0
+
+
+def test_hits_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import hits
+
+    # two hubs pointing at shared authorities; a3 has an out-edge too
+    edges = [("h1", "a1"), ("h1", "a2"), ("h2", "a2"), ("h2", "a3"),
+             ("a3", "a1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.hub, r.auth) for r in hits(df, n_iter=5).collect()}
+
+    # replicate the exact recurrence in python
+    nodes = sorted({u for e in edges for u in e})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = {}
+    for _ in range(5):
+        a = {}
+        for u, v in edges:
+            a[v] = a.get(v, 0.0) + h.get(u, 0.0)
+        sa = sum(a.values())
+        a = {v: x / sa for v, x in a.items()}
+        h = {}
+        for u, v in edges:
+            h[u] = h.get(u, 0.0) + a.get(v, 0.0)
+        sh = sum(h.values())
+        h = {u: x / sh for u, x in h.items()}
+    for v in nodes:
+        assert got[v][0] == pytest.approx(h.get(v, 0.0), abs=1e-12)
+        assert got[v][1] == pytest.approx(a.get(v, 0.0), abs=1e-12)
+    # hubs have zero authority (nothing points at them) and vice versa
+    assert got["h1"][1] == 0.0 and got["a2"][0] == 0.0
+    # L1 invariants hold after the final normalization
+    assert sum(x for x, _ in got.values()) == pytest.approx(1.0)
+    assert sum(x for _, x in got.values()) == pytest.approx(1.0)
+
+
+def test_hits_empty_graph(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import hits
+
+    df = spark.createDataFrame([], "src string, dst string")
+    assert hits(df, n_iter=3).count() == 0
