@@ -181,6 +181,28 @@ def main() -> None:
           must_not=("CartesianProduct", "BatchEvalPython",
                     "ArrowEvalPython", "Window"))
 
+    # dup spans: semi-join mark + islands window, equi-joins only, no
+    # python, and the whole thing JVM-side
+    p = plan_of(E.doc_dup_spans(spark, sf_dir))
+    check("doc_dup_spans equi-joins", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
+    # BM25: the ONLY nested-loop allowed is the one-row broadcast stats
+    # attach; tf stays an array-filter projection (no explode-join against
+    # a posting table -> at most the stats attach + the rank window
+    # exchange)
+    p = plan_of(E.doc_bm25(spark, sf_dir))
+    check("doc_bm25 JVM-only", p,
+          must_not=("CartesianProduct", "BatchEvalPython",
+                    "ArrowEvalPython", "SortMergeJoin"))
+    # HITS: checkpoint-rooted iterations — only the final attach joins
+    # show; top-k via TakeOrderedAndProject, equi-joins only
+    p = plan_of(E.graph_hits(spark, sf_dir))
+    check("graph_hits topk", p,
+          must_contain=("TakeOrderedAndProject",),
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
