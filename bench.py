@@ -81,6 +81,9 @@ def main() -> None:
         "graph_triangles", "doc_vocab", "doc_tfidf_keywords",
         "graph_communities", "doc_collocations",
         "doc_mixture_plan", "doc_mixture_sample",
+        # round-5 third-session additions: duplicate-passage spans, BM25
+        # ranked retrieval, HITS hubs/authorities
+        "doc_dup_spans", "doc_bm25", "graph_hits",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}
