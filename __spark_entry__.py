@@ -806,6 +806,24 @@ def doc_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def graph_kcore(spark, sf_dir):
+    """3-core of the high-quantity part co-purchase graph
+    (graph_algos.k_core: fixed-unroll peeling with observe()-riding
+    fixpoint early-exit — identity rounds make the early exit
+    output-identical to the oracle's full 8-round unroll)."""
+    from legal_knowledge_graph_spark.operators.graph_algos import k_core
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").where(F.col("pa") < F.col("pb")).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    core = k_core(pairs, k=3, max_iter=8)
+    return core.select("node", F.col("degree").cast("long").alias("degree"))
+
+
 def graph_hits(spark, sf_dir):
     """HITS hubs & authorities (graph_algos.hits: L1-normalized, 5 fixed
     iterations, normalization constants riding each half-step's
@@ -854,6 +872,19 @@ def doc_bm25(spark, sf_dir):
 
     return bm25_scores(_t(spark, sf_dir, "documents"), BM25_QUERIES,
                        k1=1.2, b=0.75, topk=10)
+
+
+def doc_dup_clean(spark, sf_dir):
+    """Cleaned corpus after duplicate-span removal
+    (dedup.remove_duplicate_spans, remove-everywhere policy): covered
+    positions explode from the manifest, tokens LEFT ANTI on
+    (doc_id, pos), per-doc ordered reassembly. String-exact oracle."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"),
+                                  k=5, min_docs=2)
 
 
 def doc_dup_spans(spark, sf_dir):
@@ -927,8 +958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_plan": doc_mixture_plan,
         "doc_mixture_sample": doc_mixture_sample,
         "doc_dup_spans": doc_dup_spans,
+        "doc_dup_clean": doc_dup_clean,
         "doc_bm25": doc_bm25,
         "graph_hits": graph_hits,
+        "graph_kcore": graph_kcore,
     }
 
 
@@ -1343,6 +1376,68 @@ SELECT query_id, rk, doc_id, bm25 FROM (
 ) WHERE rk <= {topk}"""
 
 
+_DUP_SPANS_CORE = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS win
+  FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+), dup AS (
+  SELECT win FROM (SELECT DISTINCT doc_id, win FROM pos)
+  GROUP BY win HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, i FROM pos WHERE win IN (SELECT win FROM dup)
+), lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM hits
+), isl AS MATERIALIZED (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev IS NULL OR i > prev + 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM lagged
+)"""
+
+_DUP_SPANS_SQL = _DUP_SPANS_CORE + """
+SELECT doc_id, CAST(g AS INT) AS span_no,
+       CAST(min(i) AS INT) AS span_start,
+       CAST(max(i) + 4 AS INT) AS span_end,
+       CAST(max(i) + 4 - min(i) + 1 AS INT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, g"""
+
+_DUP_CLEAN_SQL = _DUP_SPANS_CORE + """,
+spans AS (
+  SELECT doc_id, min(i) AS s, max(i) + 4 AS e FROM isl GROUP BY doc_id, g
+), cov AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans
+), alltok AS MATERIALIZED (
+  SELECT doc_id, i, w[i] AS tok
+  FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+), kept AS (
+  SELECT a.doc_id, a.i, a.tok FROM alltok a
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = a.doc_id AND c.p = a.i)
+), orig AS (SELECT doc_id, count(*) AS n_tokens FROM alltok GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(o.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(o.n_tokens, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM documents d
+LEFT JOIN orig o ON o.doc_id = d.doc_id
+LEFT JOIN reb r ON r.doc_id = d.doc_id"""
+
+
 def _hits_oracle(n_iter: int, k: int) -> str:
     """Unrolled-iteration SQL restatement of graph_algos.hits on the
     purchase graph: per iteration an (a_raw, a_norm, h_raw, h_norm) CTE
@@ -1390,6 +1485,37 @@ SELECT node, hub, auth, rk FROM (
   LEFT JOIN hn{n_iter} h ON h.node = n.node
   LEFT JOIN an{n_iter} a ON a.node = n.node
 ) WHERE rk <= {k}""")
+    return "".join(parts)
+
+
+def _kcore_oracle(k: int, n_rounds: int) -> str:
+    """Fixed-unroll SQL restatement of graph_algos.k_core on the
+    high-quantity co-purchase graph: one (degree, survivors, edges)
+    round per CTE triple. Peeling is identity at the fixpoint, so the
+    Spark side's observe()-gated early exit matches the full unroll."""
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                  greatest(a.l_partkey, b.l_partkey) AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}
+  ) GROUP BY node
+), s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT a, b FROM e{i - 1}
+  WHERE a IN (SELECT node FROM s{i}) AND b IN (SELECT node FROM s{i})
+)""")
+    parts.append(f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM e{n_rounds} UNION ALL SELECT b FROM e{n_rounds}
+) GROUP BY node""")
     return "".join(parts)
 
 
@@ -2048,36 +2174,8 @@ FROM documents d JOIN rates r ON d.lang = r.stratum
 WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
         "graph_hits": _hits_oracle(n_iter=5, k=20),
+        "graph_kcore": _kcore_oracle(k=3, n_rounds=8),
         "doc_bm25": _bm25_oracle(BM25_QUERIES, k1=1.2, b=0.75, topk=10),
-        "doc_dup_spans": r"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
-                     x -> x <> '') AS w
-  FROM documents
-), pos AS (
-  SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS win
-  FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
-  WHERE len(w) >= 5
-), dup AS (
-  SELECT win FROM (SELECT DISTINCT doc_id, win FROM pos)
-  GROUP BY win HAVING count(*) >= 2
-), hits AS (
-  SELECT doc_id, i FROM pos WHERE win IN (SELECT win FROM dup)
-), lagged AS (
-  SELECT doc_id, i,
-         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-  FROM hits
-), isl AS (
-  SELECT doc_id, i,
-         sum(CASE WHEN prev IS NULL OR i > prev + 5 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY i) AS g
-  FROM lagged
-)
-SELECT doc_id, CAST(g AS INT) AS span_no,
-       CAST(min(i) AS INT) AS span_start,
-       CAST(max(i) + 4 AS INT) AS span_end,
-       CAST(max(i) + 4 - min(i) + 1 AS INT) AS span_tokens,
-       CAST(count(*) AS BIGINT) AS n_windows
-FROM isl GROUP BY doc_id, g""",
+        "doc_dup_spans": _DUP_SPANS_SQL,
+        "doc_dup_clean": _DUP_CLEAN_SQL,
     }

@@ -83,7 +83,8 @@ def main() -> None:
         "doc_mixture_plan", "doc_mixture_sample",
         # round-5 third-session additions: duplicate-passage spans, BM25
         # ranked retrieval, HITS hubs/authorities
-        "doc_dup_spans", "doc_bm25", "graph_hits",
+        "doc_dup_spans", "doc_dup_clean", "doc_bm25", "graph_hits",
+        "graph_kcore",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -687,3 +687,54 @@ def duplicate_spans(
             F.col("n_windows").cast("long").alias("n_windows"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, text_col: str = "text", k: int = 5, min_docs: int = 2,
+) -> DataFrame:
+    """Apply the duplicate_spans manifest: emit the corpus with every
+    flagged span's tokens removed (the conservative remove-everywhere
+    policy — a keep-one policy is a downstream choice over the same
+    manifest; documented, deterministic).
+
+    Output: (doc_id, n_tokens, n_removed, cleaned_text) for EVERY input
+    document — n_tokens the original (whitespace, empty-filtered) token
+    count, cleaned_text '' when a doc is entirely duplicated passage.
+
+    Scale shape (100 TB): covered positions explode from the span
+    manifest (manifest-sized, tiny next to the corpus); tokens LEFT ANTI
+    the covered set on (doc_id, pos) — an equi-join, partitionable on
+    doc_id; reassembly is one per-doc agg (collect_list is bounded by
+    doc length, the same per-doc bound every text op here lives with).
+    Integer/string-exact, so the SQL oracle must agree bit-for-bit."""
+    w = F.col("_w")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = (
+        docs.withColumn("_w", words)
+        .select("doc_id", F.posexplode(w).alias("_p0", "tok"))
+        .where(F.col("tok") != "")
+        .select("doc_id", (F.col("_p0") + 1).alias("pos"), "tok")
+    )
+    spans = duplicate_spans(docs, text_col, k=k, min_docs=min_docs)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"))
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    n_orig = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"])).alias("cleaned_text"),
+    )
+    return (
+        docs.select("doc_id").join(n_orig, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

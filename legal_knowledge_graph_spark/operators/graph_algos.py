@@ -348,3 +348,66 @@ def hits(
             F.coalesce("a", F.lit(0.0)).alias("auth"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    k: int = 2, max_iter: int = 8,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes whose
+    undirected simple-graph degree is < k, `max_iter` fixed rounds.
+    Peeling is IDENTITY once converged, so a fixed unroll restates
+    exactly in SQL regardless of when the fixpoint lands; the Spark side
+    may stop early on an observed fixpoint (output-identical). Returns
+    (node, degree) for the surviving core, degree measured inside it.
+
+    Scale shape (100 TB): per round one map-side-combined degree agg and
+    two LEFT SEMI equi-joins of the (shrinking) edge set against the
+    node-sized survivor table (broadcast only under the OBSERVED
+    survivor count — the pagerank/coref discipline); each round's
+    lineage is cut with a checkpoint whose counts ride observe(), so
+    the early-exit test costs zero extra jobs. Integer-exact."""
+    from pyspark.sql import Observation
+
+    obs_e = Observation()
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .dropDuplicates(["a", "b"])
+        .observe(obs_e, F.count(F.lit(1)).alias("m"))
+        .localCheckpoint()
+    )
+    m_prev = obs_e.get["m"]
+    for _ in range(max_iter):
+        if m_prev == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        )
+        obs_n = Observation()
+        alive = (
+            deg.where(F.col("degree") >= k).select("node")
+            .observe(obs_n, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_alive = obs_n.get["n"]
+        side = F.broadcast(alive) if n_alive <= BROADCAST_RANKS_MAX else alive
+        obs_m = Observation()
+        e = (
+            e.join(side.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(side.withColumnRenamed("node", "b"), "b", "left_semi")
+            .observe(obs_m, F.count(F.lit(1)).alias("m"))
+            .localCheckpoint()
+        )
+        m_now = obs_m.get["m"]
+        if m_now == m_prev:  # fixpoint: further rounds are identity
+            break
+        m_prev = m_now
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    )

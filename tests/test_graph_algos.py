@@ -341,3 +341,46 @@ def test_hits_empty_graph(spark):
 
     df = spark.createDataFrame([], "src string, dst string")
     assert hits(df, n_iter=3).count() == 0
+
+
+def test_k_core_peels_cascading_chain(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import k_core
+
+    # 4-clique {a,b,c,d} with a pendant chain d-e-f: k=2 must peel f,
+    # then e (its degree drops to 1 only AFTER f goes), keeping the
+    # clique; k=4 peels everything
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+              ("c", "d")]
+    chain = [("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(clique + chain, "src string, dst string")
+    core2 = {r.node: r.degree for r in k_core(df, k=2, max_iter=8).collect()}
+    assert core2 == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert k_core(df, k=4, max_iter=8).count() == 0
+    # duplicate/reversed/self edges collapse before peeling
+    noisy = df.unionByName(spark.createDataFrame(
+        [("b", "a"), ("a", "a"), ("a", "b")], "src string, dst string"))
+    assert {r.node: r.degree
+            for r in k_core(noisy, k=2, max_iter=8).collect()} == core2
+
+
+def test_remove_duplicate_spans_rebuilds_text(spark):
+    from legal_knowledge_graph_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "p1 p2 p3 p4 p5"
+    rows = [
+        (1, "u1 u2 " + shared + " u3 u4"),
+        (2, shared + " y1 y2"),
+        (3, "solo doc"),
+        (4, shared),           # entirely duplicated -> cleaned to ''
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+           for r in remove_duplicate_spans(docs, k=5, min_docs=2).collect()}
+    assert got == {
+        1: (9, 5, "u1 u2 u3 u4"),
+        2: (7, 5, "y1 y2"),
+        3: (2, 0, "solo doc"),
+        4: (5, 5, ""),
+    }

@@ -203,6 +203,17 @@ def main() -> None:
           must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
                     "BatchEvalPython", "ArrowEvalPython"))
 
+    # dup-span removal: anti-join application stays equi-join/JVM-only
+    p = plan_of(E.doc_dup_clean(spark, sf_dir))
+    check("doc_dup_clean equi-joins", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
+    # k-core: checkpoint-rooted rounds; final degree agg only, no python
+    p = plan_of(E.graph_kcore(spark, sf_dir))
+    check("graph_kcore equi-joins", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
