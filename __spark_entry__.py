@@ -806,6 +806,18 @@ def doc_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def doc_length_stats(spark, sf_dir):
+    """Per-language token-length profile (text_analysis.
+    corpus_length_stats): count/sum/mean plus exact type-7 percentiles —
+    the same interpolation definition as DuckDB quantile_cont, mean
+    computed as CAST(sum AS DOUBLE)/count on both sides."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        corpus_length_stats,
+    )
+
+    return corpus_length_stats(_t(spark, sf_dir, "documents"), by="lang")
+
+
 def graph_kcore(spark, sf_dir):
     """3-core of the high-quantity part co-purchase graph
     (graph_algos.k_core: fixed-unroll peeling with observe()-riding
@@ -962,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": doc_bm25,
         "graph_hits": graph_hits,
         "graph_kcore": graph_kcore,
+        "doc_length_stats": doc_length_stats,
     }
 
 
@@ -2175,6 +2188,20 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
         "graph_hits": _hits_oracle(n_iter=5, k=20),
         "graph_kcore": _kcore_oracle(k=3, n_rounds=8),
+        "doc_length_stats": r"""
+WITH toks AS (
+  SELECT lang AS stratum,
+         len(list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+)
+SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS mean_tokens,
+       round(CAST(quantile_cont(n_tok, 0.5) AS DOUBLE), 6) AS p50,
+       round(CAST(quantile_cont(n_tok, 0.9) AS DOUBLE), 6) AS p90,
+       round(CAST(quantile_cont(n_tok, 0.99) AS DOUBLE), 6) AS p99
+FROM toks GROUP BY stratum""",
         "doc_bm25": _bm25_oracle(BM25_QUERIES, k1=1.2, b=0.75, topk=10),
         "doc_dup_spans": _DUP_SPANS_SQL,
         "doc_dup_clean": _DUP_CLEAN_SQL,

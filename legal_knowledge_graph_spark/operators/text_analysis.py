@@ -676,3 +676,50 @@ def bm25_scores(
         .where(F.col("rk") <= topk)
         .select("query_id", "rk", "doc_id", F.round("score", 4).alias("bm25"))
     )
+
+
+def corpus_length_stats(
+    docs: DataFrame, by: str = "lang", text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum token-length statistics for corpus profiling:
+    (stratum, n_docs, total_tokens, mean_tokens, p50, p90, p99).
+
+    exact=True uses Spark's exact `percentile` (type-7 interpolation at
+    index p*(n-1) — the same definition as DuckDB's quantile_cont /
+    PostgreSQL percentile_cont, so the oracle agrees to interpolation
+    ulp). Exact percentiles buffer each group's values, which is fine
+    for stratum-sized groups (languages, sources); at 100 TB with huge
+    groups pass exact=False for approx_percentile (t-digest, bounded
+    memory, map-side combinable) — deliberately not oracle-matchable,
+    hence the switch.
+
+    mean is computed as CAST(sum AS DOUBLE)/count on BOTH sides (never
+    the engine's avg(), whose internal accumulation differs)."""
+    n = F.size(F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit("")))
+    base = docs.select(F.col(by).alias("stratum"), n.alias("n_tok"))
+    if exact:
+        pct = [F.percentile("n_tok", p) for p in (0.5, 0.9, 0.99)]
+    else:
+        pct = [F.approx_percentile("n_tok", p, 10000)
+               for p in (0.5, 0.9, 0.99)]
+    return (
+        base.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            *[p.alias(f"_p{i}") for i, p in enumerate(pct)],
+        )
+        .select(
+            "stratum",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(F.col("total_tokens").cast("double")
+                    / F.col("n_docs"), 6).alias("mean_tokens"),
+            F.round(F.col("_p0").cast("double"), 6).alias("p50"),
+            F.round(F.col("_p1").cast("double"), 6).alias("p90"),
+            F.round(F.col("_p2").cast("double"), 6).alias("p99"),
+        )
+    )

@@ -1077,3 +1077,28 @@ def test_bm25_closed_form(spark):
     # zero-df query term contributes nothing and breaks nothing
     z = bm25_scores(docs, {"qz": ["zzz", "apple"]}, topk=2).collect()
     assert all(r.query_id == "qz" for r in z) and len(z) == 2
+
+
+def test_corpus_length_stats_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        corpus_length_stats,
+    )
+
+    rows = [(1, "a b c", "en"), (2, "a b c d e", "en"),
+            (3, "x", "en"), (4, "y y", "de"), (5, "", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.stratum: r.asDict() for r in
+           corpus_length_stats(docs, by="lang").collect()}
+    # en lengths sorted: [1, 3, 5] -> p50 = 3, p90 = 1+0.8*... type-7:
+    # idx = p*(n-1); p90 -> 1.8 -> 3 + 0.8*(5-3) = 4.6
+    en = got["en"]
+    assert (en["n_docs"], en["total_tokens"]) == (3, 9)
+    assert en["mean_tokens"] == 3.0 and en["p50"] == 3.0
+    assert en["p90"] == pytest.approx(4.6, abs=1e-9)
+    # empty text counts as 0 tokens
+    de = got["de"]
+    assert (de["n_docs"], de["total_tokens"]) == (2, 2)
+    assert de["p50"] == 1.0
+    # approx mode runs and returns the same schema (not oracle-matched)
+    ap = corpus_length_stats(docs, by="lang", exact=False)
+    assert ap.columns == list(got["en"].keys()) and ap.count() == 2

@@ -214,6 +214,11 @@ def main() -> None:
           must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
                     "BatchEvalPython", "ArrowEvalPython"))
 
+    # length stats: one agg, no joins, no python
+    p = plan_of(E.doc_length_stats(spark, sf_dir))
+    check("doc_length_stats one-agg", p,
+          must_not=("Join", "BatchEvalPython", "ArrowEvalPython"))
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
