@@ -806,6 +806,18 @@ def doc_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def doc_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (bpe.learn_bpe, Sennrich-style over
+    the word-frequency table): 30 merges, min_count=2. The merge loop is
+    not SQL-expressible, so the oracle is the committed golden parquet
+    (tools/make_bpe_golden.py — an independent dict-based python
+    implementation) reproduced bit-identically at local[2]/local[32]."""
+    from legal_knowledge_graph_spark.operators.bpe import learn_bpe
+
+    return learn_bpe(_t(spark, sf_dir, "documents"),
+                     n_merges=30, min_count=2)
+
+
 def doc_length_stats(spark, sf_dir):
     """Per-language token-length profile (text_analysis.
     corpus_length_stats): count/sum/mean plus exact type-7 percentiles —
@@ -975,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": graph_hits,
         "graph_kcore": graph_kcore,
         "doc_length_stats": doc_length_stats,
+        "doc_bpe_merges": doc_bpe_merges,
     }
 
 
@@ -2188,6 +2201,12 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
         "graph_hits": _hits_oracle(n_iter=5, k=20),
         "graph_kcore": _kcore_oracle(k=3, n_rounds=8),
+        # the BPE merge loop is not SQL-expressible: golden parquet from
+        # the independent dict-based implementation
+        # (tools/make_bpe_golden.py), reproduced at local[2]/local[32]
+        "doc_bpe_merges": f'''
+SELECT rank, "left", "right", pair_count
+FROM read_parquet(\'{_GOLDEN_DIR}/golden_bpe.parquet\')''',
         "doc_length_stats": r"""
 WITH toks AS (
   SELECT lang AS stratum,

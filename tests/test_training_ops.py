@@ -1102,3 +1102,32 @@ def test_corpus_length_stats_closed_form(spark):
     # approx mode runs and returns the same schema (not oracle-matched)
     ap = corpus_length_stats(docs, by="lang", exact=False)
     assert ap.columns == list(got["en"].keys()) and ap.count() == 2
+
+
+def test_bpe_learns_sennrich_merges(spark):
+    from legal_knowledge_graph_spark.operators.bpe import (
+        apply_bpe, learn_bpe,
+    )
+
+    # the classic corpus: low x5, lower x2, newest x6, widest x3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [(r["rank"], r.left, r.right, r.pair_count)
+           for r in learn_bpe(docs, n_merges=5, min_count=2).collect()]
+    # replicate: es(9) -> est(9) -> est</w>(9) -> lo(7) -> low(7)
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9),
+                   (3, "est", "</w>", 9), (4, "l", "o", 7),
+                   (5, "lo", "w", 7)]
+    toks = {t.word: tuple(t.tokens)
+            for t in apply_bpe(docs, [(m[1], m[2]) for m in got]).collect()}
+    assert toks["newest"] == ("n", "e", "w", "est</w>")
+    assert toks["low"] == ("low", "</w>")
+    assert toks["lower"] == ("low", "e", "r", "</w>")
+    # greedy left-to-right on overlapping pairs: aaaa + (a,a) -> [aa, aa]
+    d2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    t2 = apply_bpe(d2, [("a", "a")]).collect()[0]
+    assert tuple(t2.tokens) == ("aa", "aa", "</w>")
+    # min_count stops before memorizing hapax pairs
+    d3 = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    assert learn_bpe(d3, n_merges=5, min_count=2).count() == 0

@@ -219,6 +219,14 @@ def main() -> None:
     check("doc_length_stats one-agg", p,
           must_not=("Join", "BatchEvalPython", "ArrowEvalPython"))
 
+    # BPE: checkpoint-rooted merge rounds, final table is driver-built
+    # (the learned artifact); the per-round pair agg is gated by running
+    # one round's plan shape via the operator's own word table
+    from legal_knowledge_graph_spark.operators.bpe import _word_table
+    wt = _word_table(E._t(spark, sf_dir, "documents"), "text")
+    check("bpe word-table JVM-only", plan_of(wt),
+          must_not=("BatchEvalPython", "ArrowEvalPython", "Join"))
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
