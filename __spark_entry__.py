@@ -806,6 +806,31 @@ def doc_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def graph_bfs(spark, sf_dir):
+    """Multi-source BFS hop distances (graph_algos.bfs_distances,
+    min-relaxation with observe()-gated fixpoint exit — identity rounds
+    make the early exit output-identical to the oracle's fixed 6-hop
+    unroll) from two nation seeds over the undirected purchase graph."""
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        bfs_distances,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    sn = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"))
+    # n3/n15 exist at every testdata sf (low nation keys are absent from
+    # the sf0.001 supplier sample)
+    out = bfs_distances(cs.unionByName(sn), ["n3", "n15"],
+                        max_hops=6, directed=False)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
 def doc_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning (bpe.learn_bpe, Sennrich-style over
     the word-frequency table): 30 merges, min_count=2. The merge loop is
@@ -988,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": graph_kcore,
         "doc_length_stats": doc_length_stats,
         "doc_bpe_merges": doc_bpe_merges,
+        "graph_bfs": graph_bfs,
     }
 
 
@@ -1542,6 +1568,43 @@ e{i} AS MATERIALIZED (
 SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
   SELECT a AS node FROM e{n_rounds} UNION ALL SELECT b FROM e{n_rounds}
 ) GROUP BY node""")
+    return "".join(parts)
+
+
+def _bfs_oracle(seeds: list, max_hops: int) -> str:
+    """Fixed-unroll SQL restatement of graph_algos.bfs_distances on the
+    symmetrized purchase graph: one min-relaxation CTE per hop. The
+    Spark side's fixpoint early exit is output-identical because
+    settled rounds are identity."""
+    seed_vals = ", ".join(f"('{s}', 0)" for s in sorted(set(seeds)))
+    parts = [f"""
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR),
+                  'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+), e AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT src AS u, dst AS v FROM base
+    UNION
+    SELECT dst AS u, src AS v FROM base
+  ) WHERE u <> v
+), d0(node, dist) AS (VALUES {seed_vals})"""]
+    for i in range(1, max_hops + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + 1 AS dist
+    FROM e JOIN d{i - 1} d ON d.node = e.u
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}""")
     return "".join(parts)
 
 
@@ -2200,6 +2263,7 @@ FROM documents d JOIN rates r ON d.lang = r.stratum
 WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
         "graph_hits": _hits_oracle(n_iter=5, k=20),
+        "graph_bfs": _bfs_oracle(["n3", "n15"], max_hops=6),
         "graph_kcore": _kcore_oracle(k=3, n_rounds=8),
         # the BPE merge loop is not SQL-expressible: golden parquet from
         # the independent dict-based implementation

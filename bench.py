@@ -84,7 +84,7 @@ def main() -> None:
         # round-5 third-session additions: duplicate-passage spans, BM25
         # ranked retrieval, HITS hubs/authorities
         "doc_dup_spans", "doc_dup_clean", "doc_bm25", "graph_hits",
-        "graph_kcore", "doc_length_stats", "doc_bpe_merges",
+        "graph_kcore", "graph_bfs", "doc_length_stats", "doc_bpe_merges",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

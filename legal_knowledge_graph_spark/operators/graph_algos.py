@@ -411,3 +411,62 @@ def k_core(
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: list, src: str = "src", dst: str = "dst",
+    max_hops: int = 6, directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: shortest hop distance from any seed, bounded by
+    `max_hops`. Fixed rounds with a min-relaxation recurrence
+
+        dist_{t}(v) = min(dist_{t-1}(v), 1 + min_{u->v} dist_{t-1}(u))
+
+    which is IDENTITY once all distances settle, so the oracle's fixed
+    unroll matches the Spark side's observe()-gated early exit (the
+    settled-count rides each round's checkpoint). Returns (node, dist)
+    for every reached node; unreached nodes are absent (their distance
+    is infinite, not a value). Integer-exact.
+
+    Scale shape (100 TB): the frontier-relaxation join is the edge table
+    against the node-sized distance table per round (broadcast only
+    under the OBSERVED node count — the pagerank discipline); min-
+    relaxation aggregates map-side. Unlike a frontier-only BFS, the
+    full-relaxation form needs no anti-join against the visited set —
+    the min() absorbs revisits — at the cost of joining settled nodes
+    each round; for hop-bounded queries (the common 100 TB ask) the
+    bound keeps rounds small."""
+    from pyspark.sql import Observation
+
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = half if directed else half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]) \
+        .localCheckpoint()
+    spark = edges.sparkSession
+    uniq_seeds = sorted(set(seeds))
+    seed_df = spark.createDataFrame(
+        [(s,) for s in uniq_seeds], f"node {dict(e.dtypes)['u']}")
+    dist = seed_df.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    n_prev = len(uniq_seeds)
+    for _ in range(max_hops):
+        relax = (
+            e.join(_side(dist.withColumnRenamed("node", "u"), n_prev), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        obs = Observation()
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_now = obs.get["n"]
+        if n_now == n_prev:
+            # fixpoint: in unit-weight min-relaxation a node's first
+            # assigned value IS its true distance (induction on rounds),
+            # so values never tighten after assignment — a stable reach
+            # count means every further round is identity
+            break
+        n_prev = n_now
+    return dist

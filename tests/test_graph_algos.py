@@ -384,3 +384,31 @@ def test_remove_duplicate_spans_rebuilds_text(spark):
         3: (2, 0, "solo doc"),
         4: (5, 5, ""),
     }
+
+
+def test_bfs_distances_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        bfs_distances,
+    )
+
+    # path a-b-c-d-e plus a branch c-x; seed {a}
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("c", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.dist
+           for r in bfs_distances(df, ["a"], max_hops=6).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": 3, "e": 4}
+    # hop bound truncates the reach
+    got2 = {r.node: r.dist
+            for r in bfs_distances(df, ["a"], max_hops=2).collect()}
+    assert got2 == {"a": 0, "b": 1, "c": 2}
+    # multi-source takes the min over seeds; duplicate seeds collapse
+    got3 = {r.node: r.dist
+            for r in bfs_distances(df, ["a", "e", "e"], max_hops=6).collect()}
+    assert got3 == {"a": 0, "b": 1, "c": 2, "d": 1, "x": 3, "e": 0}
+    # directed: edges only traverse src->dst
+    got4 = {r.node: r.dist for r in bfs_distances(
+        df, ["c"], max_hops=6, directed=True).collect()}
+    assert got4 == {"c": 0, "d": 1, "x": 1, "e": 2}
+    # disconnected seed reaches only itself
+    assert {r.node: r.dist for r in bfs_distances(
+        df, ["zz"], max_hops=3).collect()} == {"zz": 0}

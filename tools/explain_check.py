@@ -219,6 +219,11 @@ def main() -> None:
     check("doc_length_stats one-agg", p,
           must_not=("Join", "BatchEvalPython", "ArrowEvalPython"))
 
+    # BFS: checkpoint-rooted rounds, equi-joins only, no python
+    p = plan_of(E.graph_bfs(spark, sf_dir))
+    check("graph_bfs equi-joins", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
     # BPE: checkpoint-rooted merge rounds, final table is driver-built
     # (the learned artifact); the per-round pair agg is gated by running
     # one round's plan shape via the operator's own word table
