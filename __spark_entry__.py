@@ -806,6 +806,32 @@ def doc_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered funnel conversion (events_analytics.funnel, first-touch
+    semantics): per-step filtered agg chained by user equi-joins, counts
+    as single-row aggregates, first-step total attached as a one-row
+    broadcast."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        funnel,
+    )
+
+    return funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def events_retention(spark, sf_dir):
+    """Weekly retention triangle (events_analytics.retention_cohorts):
+    Monday-truncated cohorts, one (user) agg + one (user, week) distinct,
+    integer-exact."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def graph_bfs(spark, sf_dir):
     """Multi-source BFS hop distances (graph_algos.bfs_distances,
     min-relaxation with observe()-gated fixpoint exit — identity rounds
@@ -1014,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": doc_length_stats,
         "doc_bpe_merges": doc_bpe_merges,
         "graph_bfs": graph_bfs,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
     }
 
 
@@ -2264,6 +2292,41 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
         "graph_hits": _hits_oracle(n_iter=5, k=20),
         "graph_bfs": _bfs_oracle(["n3", "n15"], max_hops=6),
+        "events_funnel": """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.u = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+), c AS MATERIALIZED (
+  SELECT CAST(1 AS INT) AS step_no, 'view' AS step,
+         CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT CAST(2 AS INT), 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step_no, step, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / greatest((SELECT n_users FROM c WHERE step_no = 1), 1), 6)
+         AS frac_of_first
+FROM c""",
+        "events_retention": """
+WITH ew AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS wk FROM events
+), f AS MATERIALIZED (SELECT u, min(wk) AS cohort FROM ew GROUP BY u)
+SELECT strftime(CAST(f.cohort AS DATE), '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', CAST(f.cohort AS DATE), CAST(ew.wk AS DATE)) / 7
+            AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ew JOIN f ON f.u = ew.u
+GROUP BY 1, 2""",
         "graph_kcore": _kcore_oracle(k=3, n_rounds=8),
         # the BPE merge loop is not SQL-expressible: golden parquet from
         # the independent dict-based implementation

@@ -85,6 +85,7 @@ def main() -> None:
         # ranked retrieval, HITS hubs/authorities
         "doc_dup_spans", "doc_dup_clean", "doc_bm25", "graph_hits",
         "graph_kcore", "graph_bfs", "doc_length_stats", "doc_bpe_merges",
+        "events_funnel", "events_retention",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -463,3 +463,53 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     run_streaming_dedup(spark, landing, out, ckpt, docs.schema)
     assert sorted(r.fingerprint
                   for r in spark.read.parquet(out).collect()) == got_fps
+
+
+def test_funnel_first_touch_ordering(spark):
+    from datetime import datetime as dt
+
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        funnel,
+    )
+
+    t = lambda m: dt(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2 clicks BEFORE viewing: click must not count (first-touch,
+        # strictly after), purchase after view but no later click
+        (2, "click", t(0)), (2, "view", t(1)), (2, "purchase", t(2)),
+        # u3 views only
+        (3, "view", t(0)),
+        # u4 never views: drops at step 1 even though click+purchase
+        (4, "click", t(0)), (4, "purchase", t(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    got = {r.step_no: (r.step, r.n_users, r.frac_of_first)
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: ("view", 3, 1.0),
+                   2: ("click", 1, round(1 / 3, 6)),
+                   3: ("purchase", 1, round(1 / 3, 6))}
+
+
+def test_retention_cohorts_weekly(spark):
+    from datetime import datetime as dt
+
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1)), (1, dt(2024, 1, 9)),   # wk0 + wk1
+        (2, dt(2024, 1, 2)), (2, dt(2024, 1, 16)),  # wk0 + wk2
+        (3, dt(2024, 1, 10)),                        # later cohort, wk0
+        (1, dt(2024, 1, 3)),                         # same week dedupes
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }

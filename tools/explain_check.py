@@ -224,6 +224,16 @@ def main() -> None:
     check("graph_bfs equi-joins", p,
           must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
                     "BatchEvalPython", "ArrowEvalPython"))
+    # funnel: user-keyed equi-join chain, the only nested loop is the
+    # one-row first-step attach; retention joins user-to-user
+    p = plan_of(E.events_funnel(spark, sf_dir))
+    check("events_funnel equi-joins", p,
+          must_not=("CartesianProduct", "BatchEvalPython",
+                    "ArrowEvalPython"))
+    p = plan_of(E.events_retention(spark, sf_dir))
+    check("events_retention equi-joins", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
     # BPE: checkpoint-rooted merge rounds, final table is driver-built
     # (the learned artifact); the per-round pair agg is gated by running
     # one round's plan shape via the operator's own word table
