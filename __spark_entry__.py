@@ -832,6 +832,74 @@ def events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def events_asof(spark, sf_dir):
+    """Backward-inclusive as-of join (temporal.asof_join): every purchase
+    event joined to the user's most recent click at-or-before it, ties on
+    the larger click event_id. The engine runs the sort-merge shape —
+    union + ONE window carry-forward, a single shuffle on user_id and no
+    join node (a hot user costs one task's sort, never a pair blow-up);
+    the oracle is the naive quadratic LEFT JOIN + row_number restatement,
+    which is exactly the plan shape the operator exists to avoid."""
+    from legal_knowledge_graph_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    aj = asof_join(
+        purch.select("user_id", "event_id", "ts", "value"),
+        clicks.select("user_id", "event_id", "ts", "value"),
+        ["user_id"], tie_col="event_id",
+        right_payload=["event_id", "value"])
+    return aj.select(
+        "event_id", "user_id", "ts", "value",
+        F.coalesce(F.col("matched.event_id"), F.lit(-1))
+        .alias("click_event_id"),
+        F.coalesce(F.col("matched.value"), F.lit(0.0)).alias("click_value"),
+        F.coalesce(F.unix_timestamp("ts") - F.unix_timestamp("matched.ts"),
+                   F.lit(-1)).alias("secs_since_click"))
+
+
+def events_error_aftermath(spark, sf_dir):
+    """Interval range join (temporal.point_in_interval_join): per error
+    event, count and value-sum of the same user's events in the 10
+    minutes after it. The engine buckets time so the range join runs as
+    a plain equi-join on (user, bucket) + exact residual filter — no
+    BroadcastNestedLoop; the oracle is the theta-join SQL form."""
+    from legal_knowledge_graph_spark.operators.temporal import (
+        point_in_interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"), "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("interval 600 seconds")).alias("t1"))
+    pts = ev.select("user_id", F.col("event_id").alias("p_eid"),
+                    F.col("ts").alias("p_ts"), "value")
+    rj = point_in_interval_join(
+        pts, errors, ["user_id"], point_ts="p_ts",
+        start_col="t0", end_col="t1", bucket_width_s=600)
+    return (
+        rj.where(F.col("p_eid") != F.col("error_event_id"))
+        .groupBy("error_event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def doc_importance(spark, sf_dir):
+    """DSIR-style importance weights (sampling.importance_weights):
+    hashed-unigram log-likelihood ratio of the English slice vs the raw
+    corpus, one corpus scan for the bounded 4096-bucket feature table
+    (totals ride observe()), one broadcast-join scoring scan."""
+    from legal_knowledge_graph_spark.operators.sampling import (
+        importance_weights,
+    )
+
+    return importance_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en")
+
+
 def graph_bfs(spark, sf_dir):
     """Multi-source BFS hop distances (graph_algos.bfs_distances,
     min-relaxation with observe()-gated fixpoint exit — identity rounds
@@ -1042,6 +1110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": graph_bfs,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "events_asof": events_asof,
+        "events_error_aftermath": events_error_aftermath,
+        "doc_importance": doc_importance,
     }
 
 
@@ -2351,4 +2422,54 @@ FROM toks GROUP BY stratum""",
         "doc_bm25": _bm25_oracle(BM25_QUERIES, k1=1.2, b=0.75, topk=10),
         "doc_dup_spans": _DUP_SPANS_SQL,
         "doc_dup_clean": _DUP_CLEAN_SQL,
+        # the oracle is deliberately the quadratic theta-join the engine's
+        # single-shuffle sort-merge shape avoids
+        "events_asof": """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'),
+m AS (
+  SELECT l.event_id, l.user_id, l.ts, l.value,
+         r.event_id AS r_eid, r.value AS r_val, r.ts AS r_ts,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+SELECT event_id, user_id, ts, value,
+       coalesce(r_eid, -1) AS click_event_id,
+       coalesce(r_val, 0.0) AS click_value,
+       coalesce(CAST(date_diff('second', r_ts, ts) AS BIGINT), -1)
+         AS secs_since_click
+FROM m WHERE rn = 1""",
+        "events_error_aftermath": """
+WITH e AS (SELECT event_id AS error_event_id, user_id, ts AS t0
+           FROM events WHERE event_type = 'error')
+SELECT e.error_event_id, e.user_id,
+       count(*) AS n_follow, round(sum(p.value), 4) AS sum_value
+FROM e JOIN events p ON e.user_id = p.user_id
+ AND p.ts >= e.t0 AND p.ts < e.t0 + INTERVAL 600 SECOND
+ AND p.event_id <> e.error_event_id
+GROUP BY 1, 2""",
+        "doc_importance": r"""
+WITH words AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+         unnest(list_filter(
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+             x -> x <> '')) AS word
+  FROM documents
+), f AS (
+  SELECT doc_id, t,
+         ('0x' || substr(md5(word || ':9'), 1, 8))::BIGINT % 4096 AS bucket
+  FROM words
+), stats AS (
+  SELECT bucket, sum(t) AS n_t, count(*) AS n_r FROM f GROUP BY bucket
+), tot AS (SELECT CAST(sum(n_t) AS DOUBLE) AS tt,
+                  CAST(sum(n_r) AS DOUBLE) AS tr FROM stats),
+lr AS (
+  SELECT bucket,
+         ln((n_t + 1.0) / (tt + 4096)) - ln((n_r + 1.0) / (tr + 4096)) AS lr
+  FROM stats CROSS JOIN tot)
+SELECT f.doc_id, count(*) AS n_tokens, round(avg(lr.lr), 6) AS importance
+FROM f JOIN lr USING (bucket)
+GROUP BY f.doc_id""",
     }

@@ -86,6 +86,9 @@ def main() -> None:
         "doc_dup_spans", "doc_dup_clean", "doc_bm25", "graph_hits",
         "graph_kcore", "graph_bfs", "doc_length_stats", "doc_bpe_merges",
         "events_funnel", "events_retention",
+        # round-5 fourth-session additions: as-of join, bucketed range
+        # join, DSIR importance weighting
+        "events_asof", "events_error_aftermath", "doc_importance",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -185,3 +185,74 @@ def resample_to_mixture(
                < F.col("accept_frac") * F.lit(HASH_SPACE))
         .drop("stratum", "accept_frac")
     )
+
+
+def importance_weights(
+    docs: DataFrame, is_target, n_buckets: int = 4096, seed: int = 9,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its hashed-unigram feature
+    distribution looks like a TARGET slice of the corpus (`is_target`,
+    a boolean Column — e.g. the high-quality or in-domain subset)
+    relative to the RAW distribution.
+
+        weight(doc) = mean over token occurrences of
+                      ln p_target(bucket) - ln p_raw(bucket)
+        p(b) = (count(b) + 1) / (total + n_buckets)      [Laplace]
+
+    Output: (doc_id, n_tokens, importance) — importance rounded to 6;
+    docs with zero tokens drop out. Downstream, resample by importance
+    (e.g. keep the top fraction, or Gumbel-top-k on weight + hash noise)
+    to shift the corpus toward the target domain.
+
+    Scale shape (100 TB): tokens hash to `n_buckets` features via the
+    same engine-portable md5 hash as the samplers, so the feature table
+    is bounded at n_buckets rows regardless of corpus size. Pass 1 is
+    ONE map-side-combined agg (target + raw counts together — one corpus
+    scan, not two); totals ride an observe() on its checkpoint. Pass 2
+    re-scans the corpus, broadcast-joins the tiny bucket table, and
+    map-side-combines the per-doc mean. Zipfian hot tokens are absorbed
+    by partial aggregation; no windows, no Python.
+    """
+    from pyspark.sql import Observation
+
+    from .text_analysis import _split_words
+
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("word"), F.lit(":"), F.lit(str(seed)))),
+            1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets))
+    words = docs.select(
+        F.col(id_col),
+        is_target.cast("int").alias("_t"),
+        F.explode(F.filter(_split_words(text_col), lambda x: x != ""))
+        .alias("word"))
+    feats = words.select(bucket.alias("bucket"), "_t")
+    obs = Observation()
+    stats = (
+        feats.groupBy("bucket")
+        .agg(F.sum("_t").alias("n_t"), F.count(F.lit(1)).alias("n_r"))
+        .observe(obs, F.sum("n_t").alias("tt"), F.sum("n_r").alias("tr"))
+        .localCheckpoint()
+    )
+    t_target, t_raw = obs.get["tt"], obs.get["tr"]
+    if not t_raw:
+        return docs.select(id_col).limit(0).select(
+            id_col, F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("importance"))
+    lr = (
+        F.log((F.col("n_t") + 1.0)
+              / F.lit(float(t_target) + n_buckets))
+        - F.log((F.col("n_r") + 1.0) / F.lit(float(t_raw) + n_buckets))
+    ).alias("lr")
+    ratio_tbl = F.broadcast(stats.select("bucket", lr))
+    return (
+        words.withColumn("bucket", bucket)
+        .join(ratio_tbl, "bucket")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.round(F.avg("lr"), 6).alias("importance"))
+    )

@@ -1,0 +1,128 @@
+"""Temporal joins over event streams: as-of join and interval range join.
+
+Two classic analytics-engine capabilities Spark has no built-in operator
+for, expressed as compositions of existing DataFrame ops (SURVEY §2's
+"custom operators" rule: composition first, Pandas UDF only if semantics
+demand it — here they don't):
+
+- `asof_join`: for each left row, the most recent right row at-or-before
+  it on the same key (backward-inclusive). Implemented as the classic
+  sort-merge shape — union both sides, ONE window over (key, ts) with a
+  last(ignorenulls) carry-forward — so the whole operator is a single
+  hash shuffle on the key and a sort within partitions. No join node at
+  all, therefore no quadratic candidate set on hot keys: a user with a
+  million events costs one task's sort, never a million² pair blow-up
+  (the naive SQL restatement the oracle uses IS that quadratic form —
+  fine at oracle scale, fatal at 100 TB).
+
+- `point_in_interval_join`: join points to covering half-open intervals
+  [start, end). Implemented as an equi-bucket range join: intervals
+  explode to the fixed-width time buckets they overlap, points map to
+  exactly ONE bucket, the join is a plain equi-join on (key…, bucket)
+  plus an exact residual filter. Each (interval, point) pair can meet in
+  at most the point's single bucket, so the join is exact with no
+  post-dedup. At 100 TB this turns an unbounded theta-join (which Spark
+  would execute as BroadcastNestedLoop or a full cartesian per key) into
+  a shuffle equi-join whose fan-out is bounded by interval_len/width.
+
+Both are deterministic: as-of ties at equal right timestamps break on
+the largest tie column; interval membership is exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, key_cols: list[str],
+    left_ts: str = "ts", right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: every left row gains a `matched`
+    struct holding the right row with the greatest right_ts <= left_ts
+    on the same key (NULL struct when no prior right row exists). Ties
+    at equal right_ts break on the largest `tie_col` (required when
+    right timestamps may repeat — determinism contract).
+
+    Plan shape: unionByName of the two tagged sides, one window
+    partitioned by the key ordered (ts, side, tie) with right rows
+    sorting BEFORE left rows at equal ts (inclusive semantics), carry =
+    last(right_struct, ignorenulls=True). One Exchange, one sort; the
+    right payload rides as a struct so the carry is a single column.
+    """
+    rp = right_payload or [
+        c for c in right.columns if c not in set(key_cols) | {right_ts}]
+    r_struct = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c) for c in rp if c != right_ts])
+    lp = [c for c in left.columns if c not in set(key_cols) | {left_ts}]
+    l_struct = F.struct(*[F.col(c) for c in lp])
+
+    tie: Column = F.col(tie_col) if tie_col else F.lit(0)
+    r_side = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
+        tie.cast("long").alias("_tie"), r_struct.alias("_r"),
+        F.lit(None).alias("_l"))
+    l_side = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tie"), F.lit(None).alias("_r"),
+        l_struct.alias("_l"))
+    # unionByName with None literals needs concrete types on both sides
+    r_side = r_side.withColumn(
+        "_l", F.col("_l").cast(l_side.schema["_l"].dataType))
+    l_side = l_side.withColumn(
+        "_r", F.col("_r").cast(r_side.schema["_r"].dataType))
+
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                  F.col("_tie").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (
+        r_side.unionByName(l_side)
+        .withColumn("matched", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    return carried.select(
+        *key_cols, F.col("_ts").alias(left_ts),
+        *[F.col("_l").getField(c).alias(c) for c in lp],
+        "matched")
+
+
+def point_in_interval_join(
+    points: DataFrame, intervals: DataFrame, key_cols: list[str],
+    point_ts: str = "ts", start_col: str = "start", end_col: str = "end",
+    bucket_width_s: int = 600,
+) -> DataFrame:
+    """Exact half-open range join: rows of `points` matched to every
+    `intervals` row with start <= point_ts < end on the same key.
+
+    Intervals explode to `sequence(floor(start/w), floor((end-eps)/w))`
+    bucket ids; points map to their single bucket; equi-join on
+    (key…, bucket) then the exact residual predicate. Returns
+    points ⨝ intervals columns (inner join — callers outer-join or
+    aggregate as needed). Choose bucket_width_s near the typical
+    interval length: fan-out per interval is ceil(len/width)+1.
+    """
+    def _epoch_s(c: Column) -> Column:
+        # TIMESTAMP_NTZ has no direct double cast; routing through
+        # TIMESTAMP is fine because bucket ids are internal — the exact
+        # residual filter compares the original timestamp columns
+        return c.cast("timestamp").cast("double")
+
+    eps = F.expr("interval 1 microsecond")
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            F.floor(_epoch_s(F.col(start_col)) / bucket_width_s),
+            F.floor(_epoch_s(F.col(end_col) - eps) / bucket_width_s))))
+    pts = points.withColumn(
+        "_bucket", F.floor(_epoch_s(F.col(point_ts)) / bucket_width_s))
+    joined = pts.join(ivals, [*key_cols, "_bucket"]).where(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col)))
+    return joined.drop("_bucket")

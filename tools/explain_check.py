@@ -242,6 +242,23 @@ def main() -> None:
     check("bpe word-table JVM-only", plan_of(wt),
           must_not=("BatchEvalPython", "ArrowEvalPython", "Join"))
 
+    # as-of join: union + window carry — NO join node at all, no python
+    p = plan_of(E.events_asof(spark, sf_dir))
+    check("events_asof joinless window", p,
+          must_not=("Join", "BatchEvalPython", "ArrowEvalPython"))
+    # range join: bucket equi-join + residual — never nested-loop
+    p = plan_of(E.events_error_aftermath(spark, sf_dir))
+    check("events_error_aftermath equi-join", p,
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"))
+    # DSIR: bounded bucket table broadcast into the scoring scan
+    p = plan_of(E.doc_importance(spark, sf_dir))
+    check("doc_importance broadcast scoring", p,
+          must_contain=("BroadcastHashJoin",),
+          must_not=("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython",
+                    "SortMergeJoin"))
+
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
