@@ -151,3 +151,54 @@ def test_importance_weights_tiny_fixture(spark):
         assert out[d] == (len(ws), pytest.approx(exp, abs=1e-6)), d
     # in-domain docs outrank the off-target doc
     assert min(out[1][1], out[2][1]) > out[3][1]
+
+
+@pytest.mark.parametrize("width", [1, 60, 3600])
+def test_asof_chunked_equals_single_window(spark, asof_frames, width):
+    """The chunked scale path is output-identical to the single-window
+    path at any chunk width (including width=1 s, where nearly every row
+    sits alone in its chunk and all matching flows through the seeds)."""
+    left, right = asof_frames
+    base = asof_join(left, right, ["user_id"], tie_col="event_id",
+                     right_payload=["event_id", "value"])
+    chunked = asof_join(left, right, ["user_id"], tie_col="event_id",
+                        right_payload=["event_id", "value"],
+                        chunk_width_s=width)
+    key = lambda r: r.event_id
+    a = sorted(((r.event_id, r.value,
+                 r.matched.event_id if r.matched else None)
+                for r in base.collect()))
+    b = sorted(((r.event_id, r.value,
+                 r.matched.event_id if r.matched else None)
+                for r in chunked.collect()))
+    assert a == b
+
+
+def test_asof_chunked_random_stream(spark):
+    """Randomized 2k-row stream (hash-derived, deterministic): chunked
+    and single-window paths agree row-for-row, including tie-breaks
+    (timestamps collide by construction: 50 distinct seconds)."""
+    ev = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 5).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + F.abs(F.xxhash64("id", F.lit(2))) % 50).alias("ts"),
+        (F.abs(F.xxhash64("id", F.lit(3))) % 2).alias("side"))
+    left = ev.where(F.col("side") == 0).drop("side")
+    right = ev.where(F.col("side") == 1).drop("side")
+
+    def run(**kw):
+        out = asof_join(left, right, ["user_id"], tie_col="event_id",
+                        right_payload=["event_id"], **kw)
+        return sorted((r.event_id,
+                       r.matched.event_id if r.matched else None)
+                      for r in out.collect())
+
+    base = run()
+    assert base == run(chunk_width_s=7)
+    assert base == run(chunk_width_s=1)
+    # hybrid: threshold routes some keys hot, some cold (5 keys x ~200
+    # rows each; threshold 150 puts most keys hot, 10**6 none)
+    assert base == run(chunk_width_s=7, hot_key_threshold=150)
+    assert base == run(chunk_width_s=7, hot_key_threshold=10**6)

@@ -85,6 +85,22 @@ def main() -> None:
     out["asof"] = {"secs": round(time.time() - t0, 3),
                    "rows": int(fp.rows), "fingerprint": int(fp.fp)}
 
+    # hot-key scale path: keys above 100k rows (here: just user 0 with
+    # ~1M) route through daily chunks — ~30 bounded tasks instead of one
+    # 1M-row sort — while the uniform majority keeps the single-window
+    # shape; fingerprint MUST equal the single-window path
+    t0 = time.time()
+    ajc = asof_join(left, right, ["user_id"], tie_col="event_id",
+                    right_payload=["event_id"], chunk_width_s=86400,
+                    hot_key_threshold=100_000)
+    fp = ajc.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(F.xxhash64("event_id", F.col("matched.event_id")))
+        .alias("fp")).collect()[0]
+    out["asof_hybrid_1d"] = {"secs": round(time.time() - t0, 3),
+                              "rows": int(fp.rows),
+                              "fingerprint": int(fp.fp)}
+
     ivals = right.where(F.abs(F.xxhash64("event_id", F.lit(31))) % 100 == 0) \
         .select(F.col("event_id").alias("iid"), "user_id",
                 F.col("ts").alias("start"),
