@@ -925,6 +925,27 @@ def graph_bfs(spark, sf_dir):
     return out.select("node", F.col("dist").cast("int").alias("dist"))
 
 
+def graph_link_predict(spark, sf_dir):
+    """Link prediction (graph_algos.link_prediction: common-neighbor /
+    Jaccard / Adamic-Adar scores for non-adjacent pairs) over the part
+    co-purchase graph, pairs counted through apexes with degree <= 64
+    (the declared hub cap — the 100 TB skew lever), global top 100 by
+    (adamic_adar DESC, common_neighbors DESC, a, b). The oracle restates
+    the same wedge-group-anti-join pipeline in SQL with the same cap."""
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        link_prediction,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").where(F.col("pa") < F.col("pb")).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return link_prediction(pairs, max_apex_degree=64, top_k=100)
+
+
 def doc_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning (bpe.learn_bpe, Sennrich-style over
     the word-frequency table): 30 merges, min_count=2. The merge loop is
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "events_error_aftermath": events_error_aftermath,
         "doc_importance": doc_importance,
+        "graph_link_predict": graph_link_predict,
     }
 
 
@@ -2363,6 +2385,41 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
         "graph_hits": _hits_oracle(n_iter=5, k=20),
         "graph_bfs": _bfs_oracle(["n3", "n15"], max_hops=6),
+        # same wedge-group-anti-join pipeline restated in SQL with the
+        # same apex-degree cap; a degree-1 apex forms no pair so the
+        # 1/ln(1) pole is unreachable on both sides
+        "graph_link_predict": """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+  ) GROUP BY node
+), adjd AS (
+  SELECT adj.apex, adj.nb, 1.0 / ln(d.degree) AS w
+  FROM (SELECT a AS apex, b AS nb FROM e0
+        UNION ALL SELECT b AS apex, a AS nb FROM e0) adj
+  JOIN deg d ON d.node = adj.apex
+  WHERE d.degree BETWEEN 2 AND 64
+), pairs AS (
+  SELECT x.nb AS a, y.nb AS b,
+         count(*) AS common_neighbors, sum(x.w) AS aa
+  FROM adjd x JOIN adjd y ON x.apex = y.apex AND x.nb < y.nb
+  GROUP BY x.nb, y.nb
+), nonadj AS (
+  SELECT p.* FROM pairs p ANTI JOIN e0 ON p.a = e0.a AND p.b = e0.b
+)
+SELECT n.a, n.b, n.common_neighbors,
+       round(n.common_neighbors
+             / (da.degree + db.degree - n.common_neighbors), 6) AS jaccard,
+       round(n.aa, 6) AS adamic_adar
+FROM nonadj n
+JOIN deg da ON da.node = n.a
+JOIN deg db ON db.node = n.b
+ORDER BY adamic_adar DESC, common_neighbors DESC, a ASC, b ASC
+LIMIT 100""",
         "events_funnel": """
 WITH s1 AS MATERIALIZED (
   SELECT user_id AS u, min(ts) AS t FROM events

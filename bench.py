@@ -89,6 +89,9 @@ def main() -> None:
         # round-5 fourth-session additions: as-of join, bucketed range
         # join, DSIR importance weighting
         "events_asof", "events_error_aftermath", "doc_importance",
+        # round-5 fifth-session addition: link prediction (CN/Jaccard/
+        # Adamic-Adar) with the apex-degree hub cap
+        "graph_link_predict",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

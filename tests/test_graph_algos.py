@@ -412,3 +412,64 @@ def test_bfs_distances_closed_form(spark):
     # disconnected seed reaches only itself
     assert {r.node: r.dist for r in bfs_distances(
         df, ["zz"], max_hops=3).collect()} == {"zz": 0}
+
+
+def _brute_link_prediction(edge_list, cap=None):
+    """Reference scorer: dict adjacency, non-adjacent pairs sharing >=1
+    common neighbor, apex-degree cap applied to which wedges count."""
+    import itertools
+    import math
+
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for w, ns in adj.items():
+        if cap is not None and len(ns) > cap:
+            continue
+        for a, b in itertools.combinations(sorted(ns), 2):
+            if (a, b) in und:
+                continue
+            cn, aa = out.get((a, b), (0, 0.0))
+            out[(a, b)] = (cn + 1, aa + 1.0 / math.log(len(adj[w])))
+    return {
+        (a, b): (cn,
+                 round(cn / (len(adj[a]) + len(adj[b]) - cn), 6),
+                 round(aa, 6))
+        for (a, b), (cn, aa) in out.items()}
+
+
+@pytest.mark.parametrize("cap", [None, 3])
+def test_link_prediction_vs_bruteforce(spark, cap):
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        link_prediction,
+    )
+
+    # hub h (degree 5) + triangle + path + duplicates/self-loop to
+    # collapse; cap=3 drops every wedge through the hub
+    edges = [("h", "a"), ("a", "h"), ("h", "b"), ("h", "c"), ("h", "d"),
+             ("h", "e"), ("a", "b"), ("c", "d"), ("d", "e"), ("x", "x"),
+             ("p", "q"), ("q", "r"), ("r", "p"), ("s", "q"), ("s", "r")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.a, r.b): (r.common_neighbors, r.jaccard, r.adamic_adar)
+        for r in link_prediction(df, max_apex_degree=cap).collect()}
+    exp = _brute_link_prediction(
+        [e for e in edges if e[0] != e[1]], cap=cap)
+    assert got == exp
+
+
+def test_link_prediction_top_k_order(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        link_prediction,
+    )
+
+    edges = [("h", x) for x in "abcde"] + [("a", "b"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    full = link_prediction(df).collect()
+    ordered = sorted(
+        full, key=lambda r: (-r.adamic_adar, -r.common_neighbors, r.a, r.b))
+    top3 = link_prediction(df, top_k=3).collect()
+    assert [(r.a, r.b) for r in top3] == [(r.a, r.b) for r in ordered[:3]]
