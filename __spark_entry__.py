@@ -688,6 +688,21 @@ def doc_lm_score(spark, sf_dir):
         F.round("avg_logprob", 4).alias("avg_logprob"))
 
 
+def doc_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail partitioning (text_analysis.ccnet_buckets):
+    per-language terciles of the rounded unigram-LM score; head is the
+    best-scoring third. Cutoffs are a strata-sized broadcast, bucketing
+    a pure filter — no per-stratum window over the corpus."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        ccnet_buckets,
+    )
+
+    out = ccnet_buckets(_t(spark, sf_dir, "documents"), by="lang")
+    return out.select(
+        "doc_id", "stratum", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "score", "bucket")
+
+
 def doc_pack_sequences(spark, sf_dir):
     """Sequence-packing placement manifest (packing.pack_sequences):
     deterministic shard + running token offset + first/last 512-token
@@ -1135,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_aftermath": events_error_aftermath,
         "doc_importance": doc_importance,
         "graph_link_predict": graph_link_predict,
+        "doc_ccnet_buckets": doc_ccnet_buckets,
     }
 
 
@@ -2258,6 +2274,41 @@ SELECT w.doc_id, count(*) AS n_tokens,
          AS avg_logprob
 FROM words w JOIN vocab USING (word) CROSS JOIN tot
 GROUP BY w.doc_id""",
+        # same LM as doc_lm_score; score rounded to 4 BEFORE the
+        # per-language tercile cutoffs (quantile_cont = Spark exact
+        # percentile, type-7) so cutoffs and comparisons are engine-exact
+        "doc_ccnet_buckets": r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+             x -> x <> '')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS n FROM words GROUP BY word
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+  FROM vocab
+), scored AS (
+  SELECT w.doc_id, count(*) AS n_tokens,
+         round(avg(log10((vocab.n + 0.5) / (tot.t + 0.5 * tot.v))), 4)
+           AS score
+  FROM words w JOIN vocab USING (word) CROSS JOIN tot
+  GROUP BY w.doc_id
+), j AS (
+  SELECT s.doc_id, d.lang AS stratum, s.n_tokens, s.score
+  FROM scored s JOIN documents d USING (doc_id)
+), cutoffs AS (
+  SELECT stratum,
+         quantile_cont(score, 1.0 / 3.0) AS c_lo,
+         quantile_cont(score, 2.0 / 3.0) AS c_hi
+  FROM j GROUP BY stratum
+)
+SELECT j.doc_id, j.stratum, j.n_tokens, j.score,
+       CASE WHEN j.score >= c.c_hi THEN 'head'
+            WHEN j.score < c.c_lo THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM j JOIN cutoffs c USING (stratum)""",
         "doc_pack_sequences": f"""
 WITH t AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,

@@ -89,9 +89,10 @@ def main() -> None:
         # round-5 fourth-session additions: as-of join, bucketed range
         # join, DSIR importance weighting
         "events_asof", "events_error_aftermath", "doc_importance",
-        # round-5 fifth-session addition: link prediction (CN/Jaccard/
-        # Adamic-Adar) with the apex-degree hub cap
-        "graph_link_predict",
+        # round-5 fifth-session additions: link prediction (CN/Jaccard/
+        # Adamic-Adar) with the apex-degree hub cap; CCNet head/middle/
+        # tail perplexity terciles
+        "graph_link_predict", "doc_ccnet_buckets",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -723,3 +723,54 @@ def corpus_length_stats(
             F.round(F.col("_p2").cast("double"), 6).alias("p99"),
         )
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame, by: str = "lang", smoothing: float = 0.5,
+    text_col: str = "text", exact: bool = True,
+) -> DataFrame:
+    """CCNet-style per-language perplexity partitioning: score every
+    document with the corpus-trained unigram LM (`unigram_lm_scores`),
+    then split each `by`-stratum into head / middle / tail terciles of
+    the (rounded) score — head = the best-scoring third, the slice CCNet
+    keeps for pretraining (Wenzek et al. 2020).
+
+    A document is `head` when score >= the stratum's 2/3 quantile,
+    `tail` when score < the 1/3 quantile, else `middle`. Scores are
+    rounded to 4 places BEFORE the quantile/comparison so both the
+    cutoffs and the bucket decisions are engine-exact (the raw mean's
+    summation order is not portable; the rounded score is).
+
+    Scale shape (100 TB): scoring is the unigram-LM pair of map-side
+    aggs; the stratum attach is one doc-sized equi-join; cutoffs are ONE
+    groupBy agg producing a strata-sized table that broadcasts into a
+    pure filter projection — no global sort, no per-stratum window over
+    the corpus (a rank-based tercile would sort a 30 TB stratum in one
+    task). exact=True uses Spark's exact `percentile` (type-7, the same
+    interpolation as DuckDB quantile_cont — oracle-matchable) which
+    buffers each stratum's scores; at 100 TB pass exact=False for
+    approx_percentile (t-digest, bounded memory), deliberately not
+    oracle-matched — the corpus_length_stats switch."""
+    scores = unigram_lm_scores(docs, smoothing=smoothing,
+                               text_col=text_col)
+    s = scores.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 4).alias("score"))
+    joined = s.join(docs.select("doc_id", F.col(by).alias("stratum")),
+                    "doc_id")
+    lo, hi = 1.0 / 3.0, 2.0 / 3.0
+    if exact:
+        cuts = [F.percentile("score", lo), F.percentile("score", hi)]
+    else:
+        cuts = [F.approx_percentile("score", lo, 10000),
+                F.approx_percentile("score", hi, 10000)]
+    cutoffs = joined.groupBy("stratum").agg(
+        cuts[0].alias("_c_lo"), cuts[1].alias("_c_hi"))
+    return (
+        joined.join(F.broadcast(cutoffs), "stratum")
+        .select(
+            "doc_id", "stratum", "n_tokens", "score",
+            F.when(F.col("score") >= F.col("_c_hi"), F.lit("head"))
+            .when(F.col("score") < F.col("_c_lo"), F.lit("tail"))
+            .otherwise(F.lit("middle")).alias("bucket"),
+        )
+    )

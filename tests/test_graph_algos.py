@@ -473,3 +473,52 @@ def test_link_prediction_top_k_order(spark):
         full, key=lambda r: (-r.adamic_adar, -r.common_neighbors, r.a, r.b))
     top3 = link_prediction(df, top_k=3).collect()
     assert [(r.a, r.b) for r in top3] == [(r.a, r.b) for r in ordered[:3]]
+
+
+def test_ccnet_buckets_vs_reference(spark):
+    """Independent python replay: unigram LM -> round(4) -> numpy type-7
+    terciles per stratum -> head/middle/tail; must match row-for-row."""
+    import numpy as np
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        ccnet_buckets,
+    )
+
+    rows = []
+    for i in range(30):
+        lang = "en" if i % 2 == 0 else "de"
+        # vary typicality: low-i docs reuse common words, high-i docs
+        # inject rare tokens
+        words = ["the"] * 3 + [f"w{i % 5}"] * 2 + [f"rare{i}"] * ((i // 2) % 4)
+        rows.append((i, lang, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # reference scores
+    from collections import Counter
+    corpus = Counter()
+    toks = {}
+    for i, lang, text in rows:
+        t = [w for w in text.lower().strip().split() if w]
+        toks[i] = t
+        corpus.update(t)
+    T, V = sum(corpus.values()), len(corpus)
+    denom = T + 0.5 * V
+    score = {
+        i: round(sum(math.log10((corpus[w] + 0.5) / denom) for w in t)
+                 / len(t), 4)
+        for i, t in toks.items() if t}
+    exp = {}
+    for lang in ("en", "de"):
+        vals = np.array(sorted(score[i] for i, l, _ in rows if l == lang))
+        c_lo = float(np.percentile(vals, 100 / 3, method="linear"))
+        c_hi = float(np.percentile(vals, 200 / 3, method="linear"))
+        for i, l, _ in rows:
+            if l != lang:
+                continue
+            s = score[i]
+            exp[i] = ("head" if s >= c_hi
+                      else "tail" if s < c_lo else "middle")
+
+    got = {r.doc_id: r.bucket for r in ccnet_buckets(docs).collect()}
+    assert got == exp
+    # every stratum produces all three buckets on this fixture
+    assert {exp[i] for i in exp} == {"head", "middle", "tail"}
