@@ -674,6 +674,38 @@ def graph_pagerank(spark, sf_dir):
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (graph_algos.pagerank with seeds): teleport
+    restricted to two nation nodes, scoring every graph entity by
+    proximity to the seed set — the standard 'entities relevant to X'
+    query over a knowledge graph. Same recurrence/oracle as
+    graph_pagerank with the tele vector in place of the uniform 1/N;
+    top 20 by rounded rank."""
+    from pyspark.sql.window import Window
+
+    from legal_knowledge_graph_spark.operators.graph_algos import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    sn = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"))
+    # s->n edges make the seed nations reachable; nations dangle, so the
+    # dangling mass cycles back through the teleport each iteration
+    pr = pagerank(cs.unionByName(sn), n_iter=10, damping=0.85,
+                  seeds=["n3", "n15"])
+    top = (
+        pr.select("node", F.round("rank", 6).alias("pr"))
+        .orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
 def doc_lm_score(spark, sf_dir):
     """Unigram-LM quality score (text_analysis.unigram_lm_scores): corpus-
     trained token frequencies, per-doc mean log10 probability — the
@@ -1151,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_importance": doc_importance,
         "graph_link_predict": graph_link_predict,
         "doc_ccnet_buckets": doc_ccnet_buckets,
+        "graph_ppr": graph_ppr,
     }
 
 
@@ -1461,13 +1494,16 @@ w AS (
 ), m AS (SELECT max(weight) AS wmax FROM w2)"""
 
 
-def _pagerank_oracle(n_iter: int, damping: float, k: int) -> str:
+def _pagerank_oracle(n_iter: int, damping: float, k: int,
+                     seeds: list | None = None) -> str:
     """Unrolled-iteration SQL restatement of graph_algos.pagerank on the
     customer->supplier->nation purchase graph: one (contribs, ranks) CTE
     pair per iteration, dangling mass = 1 - contributed (the same
     recurrence the Spark operator evaluates), every literal cast to
     DOUBLE so DuckDB's DECIMAL arithmetic never diverges from Spark's
-    doubles."""
+    doubles. With `seeds`, the teleport vector is 1/|S| on the seed
+    nodes and 0 elsewhere (personalized PageRank) — the same tele CTE
+    feeds rank_0 and every iteration's base/dangling terms."""
     d = repr(float(damping))
     parts = [f"""
 WITH e AS MATERIALIZED (
@@ -1481,11 +1517,44 @@ WITH e AS MATERIALIZED (
 ), nodes AS MATERIALIZED (
   SELECT src AS node FROM e UNION SELECT dst FROM e
 ), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),"""]
+    if seeds:
+        in_list = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+        parts.append(f"""
+sn AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes
+  WHERE node IN ({in_list})
+),
+tele AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node IN ({in_list})
+              THEN CAST(1 AS DOUBLE) / (SELECT s FROM sn)
+              ELSE CAST(0 AS DOUBLE) END AS w
+  FROM nodes
+),
+p0 AS MATERIALIZED (SELECT node, w AS rank FROM tele)""")
+    else:
+        parts.append("""
 p0 AS MATERIALIZED (
   SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
-)"""]
+)""")
     for i in range(1, n_iter + 1):
+        if seeds:
+            base = (f"(CAST(1 AS DOUBLE) - {d}) * t.w"
+                    f"\n    + {d} * (COALESCE(c.c, CAST(0 AS DOUBLE))"
+                    f"\n             + greatest(CAST(0 AS DOUBLE),"
+                    f"\n                        CAST(1 AS DOUBLE)"
+                    f" - (SELECT sum(c) FROM c{i})) * t.w)")
+            frm = (f"FROM nodes n JOIN tele t ON t.node = n.node"
+                   f" LEFT JOIN c{i} c ON n.node = c.node")
+        else:
+            base = (f"(CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM nn)"
+                    f"\n    + {d} * (COALESCE(c.c, CAST(0 AS DOUBLE))"
+                    f"\n             + greatest(CAST(0 AS DOUBLE),"
+                    f"\n                        CAST(1 AS DOUBLE)"
+                    f" - (SELECT sum(c) FROM c{i}))"
+                    f"\n               / (SELECT n FROM nn))")
+            frm = f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node"
         parts.append(f""",
 c{i} AS MATERIALIZED (
   SELECT e.dst AS node, sum(p.rank / dg.outdeg) AS c
@@ -1493,12 +1562,8 @@ c{i} AS MATERIALIZED (
   GROUP BY e.dst
 ), p{i} AS MATERIALIZED (
   SELECT n.node,
-    (CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM nn)
-    + {d} * (COALESCE(c.c, CAST(0 AS DOUBLE))
-             + greatest(CAST(0 AS DOUBLE),
-                        CAST(1 AS DOUBLE) - (SELECT sum(c) FROM c{i}))
-               / (SELECT n FROM nn)) AS rank
-  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+    {base} AS rank
+  {frm}
 )""")
     parts.append(f"""
 SELECT node, pr, rk FROM (
@@ -2256,6 +2321,8 @@ FROM reach GROUP BY t""",
 SELECT query_id, neighbor_id, cosine, rank
 FROM read_parquet('{_GOLDEN_DIR}/golden_ivf.parquet')""",
         "graph_pagerank": _pagerank_oracle(n_iter=10, damping=0.85, k=20),
+        "graph_ppr": _pagerank_oracle(n_iter=10, damping=0.85, k=20,
+                                      seeds=["n3", "n15"]),
         "doc_lm_score": r"""
 WITH words AS (
   SELECT doc_id,

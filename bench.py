@@ -92,7 +92,7 @@ def main() -> None:
         # round-5 fifth-session additions: link prediction (CN/Jaccard/
         # Adamic-Adar) with the apex-degree hub cap; CCNet head/middle/
         # tail perplexity terciles
-        "graph_link_predict", "doc_ccnet_buckets",
+        "graph_link_predict", "doc_ccnet_buckets", "graph_ppr",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

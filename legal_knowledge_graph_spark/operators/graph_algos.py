@@ -33,17 +33,27 @@ def _side(df: DataFrame, n_rows: int) -> DataFrame:
 def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     damping: float = 0.85, n_iter: int = 10,
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank with dangling-mass redistribution, `n_iter` fixed
     iterations (deterministic given the edge set — the oracle unrolls the
     same recurrence in SQL).
 
-    rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u)/outdeg(u)
-                                   + dangling_t / N)
+    rank_{t+1}(v) = (1-d)*tele(v) + d * (sum_{u->v} rank_t(u)/outdeg(u)
+                                         + dangling_t * tele(v))
 
-    where dangling_t = 1 - total contributed mass (the rank invariant
-    sum(rank_t) = 1 makes the two equal, and the contribution sum rides
-    the iteration's checkpoint via observe())."""
+    where tele is uniform 1/N without `seeds` (classic PageRank), and
+    with `seeds` it is the PERSONALIZED teleport: 1/|S| on the seed
+    nodes present in the graph, 0 elsewhere (rank_0 = tele), giving
+    proximity-to-the-seed-set scores — the standard "entities relevant
+    to X" query over a knowledge graph. dangling_t = 1 - total
+    contributed mass (the rank invariant sum(rank_t) = 1 makes the two
+    equal, and the contribution sum rides the iteration's checkpoint via
+    observe()). Seeds absent from the graph are ignored (the teleport
+    renormalizes over present seeds). The seeded path adds one constant
+    `tele` column on the node table — same joins, same shuffles, and
+    the unseeded arithmetic is bit-identical to before the parameter
+    existed."""
     from pyspark.sql import Observation
 
     # materialize the deduped edge set ONCE: nodes, out-degrees and the
@@ -52,21 +62,33 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .dropDuplicates(["src", "dst"]).localCheckpoint()
     obs_n = Observation()
+    seed_list = sorted(set(seeds)) if seeds else []
+    is_seed = F.col("node").isin(seed_list) if seed_list else F.lit(False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .observe(obs_n, F.count(F.lit(1)).alias("n"),
+                 F.sum(is_seed.cast("long")).alias("ns"))
         .localCheckpoint()
     )
     n_nodes = obs_n.get["n"]
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    if seed_list:
+        n_seeds = obs_n.get["ns"] or 0
+        if n_seeds == 0:
+            raise ValueError("no seed node exists in the graph")
+        # tele is a pure EXPRESSION of node (isin -> 1/|S| else 0): no
+        # materialized column, no extra checkpoint/job
+        tele = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     adj = e.join(outdeg, "src").localCheckpoint()  # static across iterations
 
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = nodes.select(
+        "node",
+        (tele if seed_list else F.lit(1.0 / n_nodes)).alias("rank"))
     base = (1.0 - damping) / n_nodes
     for _ in range(n_iter):
         obs = Observation()
@@ -79,14 +101,20 @@ def pagerank(
         )
         contributed = obs.get["s"] or 0.0
         dangling = max(0.0, 1.0 - contributed)
+        if seed_list:
+            # (1-d)*tele + d*(c + dangling*tele): the same recurrence
+            # with the teleport vector in place of the uniform 1/N
+            upd = (F.lit(1.0 - damping) * tele
+                   + F.lit(damping)
+                   * (F.coalesce(F.col("c"), F.lit(0.0))
+                      + F.lit(dangling) * tele))
+        else:
+            upd = (F.lit(base) + F.lit(damping)
+                   * (F.coalesce(F.col("c"), F.lit(0.0))
+                      + F.lit(dangling / n_nodes)))
         ranks = nodes.join(
             _side(contribs, n_nodes), nodes["node"] == contribs["dst"], "left"
-        ).select(
-            "node",
-            (F.lit(base) + F.lit(damping)
-             * (F.coalesce(F.col("c"), F.lit(0.0))
-                + F.lit(dangling / n_nodes))).alias("rank"),
-        )
+        ).select("node", upd.alias("rank"))
     return ranks
 
 

@@ -522,3 +522,49 @@ def test_ccnet_buckets_vs_reference(spark):
     assert got == exp
     # every stratum produces all three buckets on this fixture
     assert {exp[i] for i in exp} == {"head", "middle", "tail"}
+
+
+def _numpy_ppr(edge_list, seeds, damping, n_iter):
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, _ in edge_list:
+        out[a] = out.get(a, 0) + 1
+    present = [s for s in sorted(set(seeds)) if s in idx]
+    tele = np.zeros(n)
+    for s in present:
+        tele[idx[s]] = 1.0 / len(present)
+    r = tele.copy()
+    for _ in range(n_iter):
+        c = np.zeros(n)
+        for a, b in edge_list:
+            c[idx[b]] += r[idx[a]] / out[a]
+        dangling = max(0.0, 1.0 - c.sum())
+        r = (1 - damping) * tele + damping * (c + dangling * tele)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    # chain with a side loop + dangling sink; seed mass should
+    # concentrate near the seeds, far nodes near zero
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+                 ("d", "e"), ("x", "a")]
+    e = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r["rank"]
+           for r in pagerank(e, n_iter=8, seeds=["a", "x"]).collect()}
+    want = _numpy_ppr(edge_list, ["a", "x"], 0.85, 8)
+    assert set(got) == set(want)
+    for node in want:
+        assert math.isclose(got[node], want[node],
+                            rel_tol=1e-9, abs_tol=1e-15), node
+    assert got["a"] > got["e"]
+    # absent seeds renormalize over the present ones; all-absent raises
+    got2 = {r.node: r["rank"]
+            for r in pagerank(e, n_iter=8, seeds=["a", "zz"]).collect()}
+    want2 = _numpy_ppr(edge_list, ["a"], 0.85, 8)
+    for node in want2:
+        assert math.isclose(got2[node], want2[node],
+                            rel_tol=1e-9, abs_tol=1e-15), node
+    with pytest.raises(ValueError):
+        pagerank(e, n_iter=2, seeds=["zz"])
