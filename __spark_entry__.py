@@ -879,6 +879,19 @@ def events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def events_dau(spark, sf_dir):
+    """Daily + rolling 7-day active users (events_analytics.
+    rolling_active_users): dau/wau/n_events per day present. The engine
+    fans each (day, user) pair out to the 7 windows it serves (bounded
+    x7 expansion of the small distinct table); the oracle is
+    deliberately the quadratic BETWEEN theta-join this avoids."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        rolling_active_users,
+    )
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
 def events_asof(spark, sf_dir):
     """Backward-inclusive as-of join (temporal.asof_join): every purchase
     event joined to the user's most recent click at-or-before it, ties on
@@ -1184,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_predict": graph_link_predict,
         "doc_ccnet_buckets": doc_ccnet_buckets,
         "graph_ppr": graph_ppr,
+        "events_dau": events_dau,
     }
 
 
@@ -2574,6 +2588,23 @@ SELECT strftime(CAST(f.cohort AS DATE), '%Y-%m-%d') AS cohort_week,
 FROM ew JOIN f ON f.u = ew.u
 GROUP BY 1, 2""",
         "graph_kcore": _kcore_oracle(k=3, n_rounds=8),
+        # quadratic BETWEEN form on purpose — the engine's explode-based
+        # fan-out must agree with the naive trailing-window semantics
+        "events_dau": """
+WITH daily AS MATERIALIZED (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events
+), stats AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+), wau AS (
+  SELECT s.day, count(DISTINCT d.u) AS wau
+  FROM (SELECT DISTINCT day FROM daily) s
+  JOIN daily d ON d.day BETWEEN s.day - 6 AND s.day
+  GROUP BY s.day
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day, s.dau, w.wau, s.n_events
+FROM stats s JOIN wau w ON w.day = s.day""",
         # the BPE merge loop is not SQL-expressible: golden parquet from
         # the independent dict-based implementation
         # (tools/make_bpe_golden.py), reproduced at local[2]/local[32]

