@@ -879,6 +879,19 @@ def events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def doc_ngram_diversity(spark, sf_dir):
+    """Per-language n-gram diversity profile (text_analysis.
+    ngram_diversity): corpus-level type-token ratio and its 2/3-gram
+    generalizations; distinct counts via the explicit two-stage
+    aggregate (gram collapse first), never expand-based count_distinct
+    over the raw token stream."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        ngram_diversity,
+    )
+
+    return ngram_diversity(_t(spark, sf_dir, "documents"), by="lang")
+
+
 def events_dau(spark, sf_dir):
     """Daily + rolling 7-day active users (events_analytics.
     rolling_active_users): dau/wau/n_events per day present. The engine
@@ -1198,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ccnet_buckets": doc_ccnet_buckets,
         "graph_ppr": graph_ppr,
         "events_dau": events_dau,
+        "doc_ngram_diversity": doc_ngram_diversity,
     }
 
 
@@ -2605,6 +2619,30 @@ WITH daily AS MATERIALIZED (
 )
 SELECT strftime(s.day, '%Y-%m-%d') AS day, s.dau, w.wau, s.n_events
 FROM stats s JOIN wau w ON w.day = s.day""",
+        "doc_ngram_diversity": r"""
+WITH words AS MATERIALIZED (
+  SELECT lang AS stratum,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                        '\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT stratum, 1 AS n, unnest(w) AS gram FROM words
+  UNION ALL
+  SELECT stratum, 2 AS n,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM words
+  UNION ALL
+  SELECT stratum, 3 AS n,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i + 1] || ' '
+                                    || w[i + 2])) AS gram
+  FROM words
+)
+SELECT stratum, n, count(*) AS total_ngrams,
+       count(DISTINCT gram) AS distinct_ngrams,
+       round(count(DISTINCT gram) / count(*), 6) AS diversity
+FROM grams GROUP BY stratum, n""",
         # the BPE merge loop is not SQL-expressible: golden parquet from
         # the independent dict-based implementation
         # (tools/make_bpe_golden.py), reproduced at local[2]/local[32]

@@ -774,3 +774,58 @@ def ccnet_buckets(
             .otherwise(F.lit("middle")).alias("bucket"),
         )
     )
+
+
+def ngram_diversity(
+    docs: DataFrame, by: str = "lang", ns: tuple = (1, 2, 3),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus-level n-gram diversity: for each `by`-stratum
+    and each n in `ns`, (total n-grams, distinct n-grams, diversity =
+    distinct/total rounded 6) — the corpus-level type-token ratio (n=1)
+    and its n-gram generalizations, the standard diversity/memorization-
+    risk profile for a training mix (low distinct ratios flag templated
+    or duplicated strata).
+
+    Scale shape (100 TB): n-grams come from the zip-shift construction
+    (element_at pulls, no per-element slice); the distinct count is an
+    explicit two-stage aggregate — groupBy (stratum, n, gram) with
+    map-side partials absorbing the zipfian head, then ONE count+sum per
+    (stratum, n) over the collapsed gram table. No expand-based
+    count_distinct over the raw stream, no joins."""
+    gram_sets = []
+    for n in sorted(set(ns)):
+        w = F.col("_w")
+        if n == 1:
+            grams = w
+        else:
+            grams = F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.slice(w, 1, F.size(w) - (n - 1)),
+                    lambda x, i: F.concat_ws(
+                        " ", F.array(
+                            [x] + [F.element_at(w, i + F.lit(k + 1))
+                                   for k in range(1, n)])))
+            ).otherwise(F.array().cast("array<string>"))
+        gram_sets.append(
+            docs.select(F.col(by).alias("stratum"),
+                        _split_words(text_col).alias("_w"))
+            .select("stratum", F.lit(n).alias("n"),
+                    F.explode(
+                        F.filter(grams, lambda g: g != "")).alias("gram")))
+    exploded = gram_sets[0]
+    for g in gram_sets[1:]:
+        exploded = exploded.unionByName(g)
+    collapsed = exploded.groupBy("stratum", "n", "gram").agg(
+        F.count(F.lit(1)).alias("_c"))
+    return (
+        collapsed.groupBy("stratum", "n")
+        .agg(F.sum("_c").alias("total_ngrams"),
+             F.count(F.lit(1)).alias("distinct_ngrams"))
+        .select(
+            "stratum", "n", "total_ngrams", "distinct_ngrams",
+            F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6)
+            .alias("diversity"),
+        )
+    )

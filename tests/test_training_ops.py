@@ -1131,3 +1131,26 @@ def test_bpe_learns_sennrich_merges(spark):
     # min_count stops before memorizing hapax pairs
     d3 = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
     assert learn_bpe(d3, n_merges=5, min_count=2).count() == 0
+
+
+def test_ngram_diversity_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        ngram_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a b a b"),       # 1g: 4 tot / 2 dist; 2g: a-b,b-a,a-b
+         (1, "en", "a"),             # 1 unigram, no bigrams/trigrams
+         (2, "de", ""),              # nothing at all
+         (3, "de", "x y z")],        # 3/3; 2/2; 1/1
+        "doc_id long, lang string, text string")
+    got = {(r.stratum, r.n): (r.total_ngrams, r.distinct_ngrams, r.diversity)
+           for r in ngram_diversity(docs).collect()}
+    assert got[("en", 1)] == (5, 2, 0.4)          # a x3, b x2
+    assert got[("en", 2)] == (3, 2, round(2 / 3, 6))
+    assert got[("en", 3)] == (2, 2, 1.0)          # "a b a", "b a b"
+    assert got[("de", 1)] == (3, 3, 1.0)
+    assert got[("de", 2)] == (2, 2, 1.0)
+    assert got[("de", 3)] == (1, 1, 1.0)
+    # the empty doc contributes no grams at any n
+    assert ("de", 0) not in got and len(got) == 6
