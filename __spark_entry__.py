@@ -377,6 +377,21 @@ def emb_knn_ivf(spark, sf_dir):
         F.col("rank").cast("int").alias("rank"))
 
 
+def emb_knn_pq(spark, sf_dir):
+    """IVF-PQ ANN (similarity.knn_ivf_pq): coarse KMeans cells + per-
+    subspace product-quantization codebooks, ADC candidate scoring over
+    (vec_id, cluster, codes) only, exact re-rank of the top survivors
+    via one equi-join back to the fat vector table. Oracle = committed
+    golden parquet (tools/make_pq_golden.py), reproduced at local[2]
+    and local[32]; recall quality pinned in pytest."""
+    from legal_knowledge_graph_spark.operators.similarity import knn_ivf_pq
+
+    out = knn_ivf_pq(_t(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("cosine").cast("double"),
+        F.col("rank").cast("int").alias("rank"))
+
+
 def emb_knn_lsh(spark, sf_dir):
     """ANN top-k, tuned for FULL top-10 coverage on this corpus (verified
     offline for every sf; planes are deterministic) so the exact-topk SQL is
@@ -1212,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": graph_ppr,
         "events_dau": events_dau,
         "doc_ngram_diversity": doc_ngram_diversity,
+        "emb_knn_pq": emb_knn_pq,
     }
 
 
@@ -2348,6 +2364,12 @@ FROM reach GROUP BY t""",
         "emb_knn_ivf": f"""
 SELECT query_id, neighbor_id, cosine, rank
 FROM read_parquet('{_GOLDEN_DIR}/golden_ivf.parquet')""",
+        # two seeded KMeans layers + fixed-order ADC are not SQL-
+        # expressible: golden parquet from tools/make_pq_golden.py,
+        # reproduced bit-identically at local[2]/local[32]
+        "emb_knn_pq": f"""
+SELECT query_id, neighbor_id, cosine, rank
+FROM read_parquet('{_GOLDEN_DIR}/golden_pq.parquet')""",
         "graph_pagerank": _pagerank_oracle(n_iter=10, damping=0.85, k=20),
         "graph_ppr": _pagerank_oracle(n_iter=10, damping=0.85, k=20,
                                       seeds=["n3", "n15"]),

@@ -93,7 +93,7 @@ def main() -> None:
         # Adamic-Adar) with the apex-degree hub cap; CCNet head/middle/
         # tail perplexity terciles
         "graph_link_predict", "doc_ccnet_buckets", "graph_ppr",
-        "events_dau", "doc_ngram_diversity",
+        "events_dau", "doc_ngram_diversity", "emb_knn_pq",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

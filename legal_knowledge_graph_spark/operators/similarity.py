@@ -245,3 +245,127 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4,
+    m_subvectors: int = 4, pq_bits: int = 4, rerank: int = 50,
+    seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+    fit_fraction: float | None = 0.5, fit_partitions: int = 8,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jegou et al. 2011): the 100 TB ANN shape
+    where even the probed cells are too fat to score exactly. Vectors
+    split into `m_subvectors` subspaces; each subspace learns a
+    2^pq_bits-center KMeans codebook on the SAME deterministic
+    hash-sampled, layout-pinned fit subset as the coarse quantizer, and
+    every corpus vector compresses to m code bytes. Queries score
+    candidates by ADC — a per-(query, subspace, code) lookup table of
+    partial dot products, summed in fixed subspace order via
+    F.aggregate — then the top `rerank` per query re-rank EXACTLY by
+    joining only those survivors back to the fat vector table.
+
+    Why this scales where knn_ivf stops: the approx phase touches only
+    (vec_id, cluster, codes) — with m=16, bits=8 that is 16 bytes per
+    vector instead of 3 KB of float32s — so a probed cell streams from
+    memory at codebook speed; the fat table is read only for
+    |queries| x rerank rows through one equi-join on vec_id. Both
+    KMeans layers fit on O(sample); assignments are two linear scans.
+
+    Determinism contract = knn_ivf's (hash-sampled fit, pinned layout,
+    f2j BLAS for the committed golden) extended with the fixed subspace
+    summation order of the ADC aggregate. Quality is asserted separately
+    in pytest as recall vs exact brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"))
+    qrows = emb.where(F.col("vec_id").isin(query_ids)).collect()
+    if not qrows:
+        raise ValueError("no query id exists in the corpus")
+    dim = len(qrows[0].embedding)
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
+    d_sub = dim // m_subvectors
+    n_codes = 1 << pq_bits
+
+    feats = emb.withColumn("features", array_to_vector("embedding"))
+    for j in range(m_subvectors):
+        feats = feats.withColumn(
+            f"_sub{j}",
+            array_to_vector(F.slice("embedding", j * d_sub + 1, d_sub)))
+    fit_input = _ivf_fit_input(feats, seed, fit_fraction, fit_partitions) \
+        .localCheckpoint()  # coarse + m codebook fits all read it
+
+    coarse = KMeans(k=n_centroids, seed=seed, maxIter=10,
+                    featuresCol="features").fit(fit_input)
+    books = [
+        KMeans(k=n_codes, seed=seed + 101 + j, maxIter=10,
+               featuresCol=f"_sub{j}", predictionCol=f"_code{j}")
+        .fit(fit_input)
+        for j in range(m_subvectors)
+    ]
+    # ONE pass encodes the corpus: coarse cell + m codes, embedding
+    # dropped — the approx phase never carries the fat vector
+    encoded = coarse.transform(feats).withColumnRenamed(
+        "prediction", "cluster")
+    for b in books:
+        encoded = b.transform(encoded)
+    encoded = encoded.select(
+        "vec_id", "cluster",
+        F.array(*[F.col(f"_code{j}") for j in range(m_subvectors)])
+        .alias("codes"))
+
+    centers = np.stack([np.asarray(c) for c in coarse.clusterCenters()])
+    centers_n = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    book_centers = [
+        np.stack([np.asarray(c) for c in b.clusterCenters()]) for b in books]
+    probe_rows, lut_rows = [], []
+    for r in qrows:
+        qv = np.asarray(r.embedding)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        for c in np.argsort(-(centers_n @ qn))[:n_probe]:
+            probe_rows.append((r.vec_id, int(c)))
+        # ADC table: partial dot of the RAW query subvector with every
+        # codebook center (sum over subspaces approximates dot(q, v))
+        lut = [[float(book_centers[j][c] @ qv[j * d_sub:(j + 1) * d_sub])
+                for c in range(n_codes)] for j in range(m_subvectors)]
+        lut_rows.append((r.vec_id, r.embedding, lut))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    qtab = spark.createDataFrame(
+        lut_rows,
+        "query_id long, q_vec array<double>, lut array<array<double>>")
+
+    cand = F.broadcast(probes).join(encoded, "cluster") \
+        .where(F.col("query_id") != F.col("vec_id")) \
+        .join(F.broadcast(qtab.select("query_id", "lut")), "query_id")
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m_subvectors)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at("lut", j), F.element_at("codes", j) + 1))
+    approx = cand.select("query_id", "vec_id", adc.alias("_adc")) \
+        .dropDuplicates(["query_id", "vec_id"])
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("vec_id").asc())
+    survivors = approx.withColumn("_r", F.row_number().over(wa)) \
+        .where(F.col("_r") <= rerank).select("query_id", "vec_id")
+    # exact phase: ONLY |queries| x rerank rows touch the fat table
+    scored = (
+        survivors.join(emb, "vec_id")
+        .join(F.broadcast(qtab.select("query_id", "q_vec")), "query_id")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("q_vec"), F.col("embedding")), 6)
+            .alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

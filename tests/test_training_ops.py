@@ -1154,3 +1154,45 @@ def test_ngram_diversity_closed_form(spark):
     assert got[("de", 3)] == (1, 1, 1.0)
     # the empty doc contributes no grams at any n
     assert ("de", 0) not in got and len(got) == 6
+
+
+def test_knn_ivf_pq_recall_and_rerank_exactness(spark):
+    """IVF-PQ on clustered embeddings: ADC-ranked survivors re-ranked
+    exactly give high recall vs brute force, and every returned cosine
+    equals the exact brute-force cosine for that pair (the re-rank phase
+    is exact by construction)."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        knn_bruteforce, knn_ivf_pq,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((8, 16)) * 5
+    rows = [(i, (centers[i % 8] + 0.3 * rng.standard_normal(16)).tolist())
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {}
+    for r in knn_bruteforce(emb, [0, 1, 2], k=10).collect():
+        exact[(r.query_id, r.neighbor_id)] = r.cosine
+    approx = {}
+    for r in knn_ivf_pq(emb, [0, 1, 2], k=10, n_centroids=8, n_probe=2,
+                        m_subvectors=4, pq_bits=4, rerank=40).collect():
+        approx[(r.query_id, r.neighbor_id)] = r.cosine
+    by_q = {}
+    for (q, n), c in approx.items():
+        by_q.setdefault(q, set()).add(n)
+        if (q, n) in exact:
+            assert c == exact[(q, n)], (q, n)
+    for q in (0, 1, 2):
+        hits = {n for (qq, n) in exact if qq == q} & by_q[q]
+        assert len(hits) >= 8, (q, hits)
+
+
+def test_knn_ivf_pq_validates_inputs(spark):
+    from legal_knowledge_graph_spark.operators.similarity import knn_ivf_pq
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        knn_ivf_pq(emb, [0], m_subvectors=2)   # 3 % 2 != 0
+    with pytest.raises(ValueError):
+        knn_ivf_pq(emb, [99])                  # query id absent

@@ -103,7 +103,7 @@ def main() -> None:
     check("doc_dedup_keep no-cartesian", p,
           must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
     for gq in ("doc_minhash_groups", "doc_simhash_groups",
-               "emb_dedup_keep", "graph_link_predict"):
+               "emb_dedup_keep", "graph_link_predict", "emb_knn_pq"):
         p = plan_of(E.queries()[gq](spark, sf_dir))
         check(f"{gq} no-cartesian", p,
               must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
