@@ -920,6 +920,19 @@ def events_dau(spark, sf_dir):
     return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
+def events_funnel_latency(spark, sf_dir):
+    """Conversion-latency percentiles for the view->click->purchase
+    funnel (events_analytics.funnel_latency): per step k>=2, p50/p90/
+    mean whole-second latency from the previous step's first-touch
+    completion; same cohort as events_funnel, one extra one-row
+    aggregate per step."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        funnel_latency,
+    )
+
+    return funnel_latency(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
 def events_asof(spark, sf_dir):
     """Backward-inclusive as-of join (temporal.asof_join): every purchase
     event joined to the user's most recent click at-or-before it, ties on
@@ -1228,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau": events_dau,
         "doc_ngram_diversity": doc_ngram_diversity,
         "emb_knn_pq": emb_knn_pq,
+        "events_funnel_latency": events_funnel_latency,
     }
 
 
@@ -2641,6 +2655,35 @@ WITH daily AS MATERIALIZED (
 )
 SELECT strftime(s.day, '%Y-%m-%d') AS day, s.dau, w.wau, s.n_events
 FROM stats s JOIN wau w ON w.day = s.day""",
+        # same first-touch CTE chain as events_funnel, carrying the
+        # previous completion time; integer-second latencies, type-7
+        # quantile_cont = Spark exact percentile, mean = sum/count
+        "events_funnel_latency": """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t, min(s1.t) AS prev_t
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS t, min(s2.t) AS prev_t
+  FROM events e JOIN s2 ON s2.u = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+), l2 AS (SELECT datediff('second', prev_t, t) AS lat FROM s2),
+l3 AS (SELECT datediff('second', prev_t, t) AS lat FROM s3)
+SELECT CAST(2 AS INT) AS step_no, 'click' AS step,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(lat, 0.5), 6) AS p50_s,
+       round(quantile_cont(lat, 0.9), 6) AS p90_s,
+       round(CAST(sum(lat) AS DOUBLE) / greatest(count(*), 1), 6) AS mean_s
+FROM l2
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT),
+       round(quantile_cont(lat, 0.5), 6),
+       round(quantile_cont(lat, 0.9), 6),
+       round(CAST(sum(lat) AS DOUBLE) / greatest(count(*), 1), 6)
+FROM l3""",
         "doc_ngram_diversity": r"""
 WITH words AS MATERIALIZED (
   SELECT lang AS stratum,

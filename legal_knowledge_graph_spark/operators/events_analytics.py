@@ -122,3 +122,69 @@ def rolling_active_users(
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                 "dau", "wau", "n_events")
     )
+
+
+def funnel_latency(
+    events: DataFrame, steps: list[str],
+    user_col: str = "user_id", type_col: str = "event_type",
+    ts_col: str = "ts", exact: bool = True,
+) -> DataFrame:
+    """Conversion-latency profile for an ordered funnel: for every step
+    k >= 2, statistics of (step-k completion time - step-(k-1)
+    completion time) in whole seconds across converting users —
+    (step_no, step, n_users, p50_s, p90_s, mean_s). First-touch step
+    semantics are identical to `funnel` (a user completes step k at the
+    earliest event strictly after their step-(k-1) completion), so the
+    two queries describe the same cohort.
+
+    Engine-exact: latencies are integer seconds (unix_timestamp diff);
+    exact percentiles are type-7 (= quantile_cont) over integers, mean
+    is CAST(sum AS DOUBLE)/count on both sides. exact=False switches to
+    approx_percentile (t-digest) for funnels whose per-step cohorts are
+    too large to buffer — the corpus_length_stats discipline.
+
+    Scale shape: the step chain is the same per-step filtered agg +
+    user equi-join as `funnel` (each step's input shrinks to prior
+    survivors); the previous completion time rides the join, so
+    latency stats cost ONE extra one-row aggregate per step."""
+    prev = None
+    stat_rows = []
+    for i, st in enumerate(steps):
+        ev = events.where(F.col(type_col) == st).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("t"))
+        if prev is None:
+            cur = ev.groupBy("user").agg(F.min("t").alias("t_done")) \
+                .localCheckpoint()
+        else:
+            joined = (
+                ev.join(prev, "user")
+                .where(F.col("t") > F.col("t_done"))
+                .groupBy("user")
+                .agg(F.min("t").alias("t_done"),
+                     # t_done is constant per user in the joined stream
+                     F.min("t_done").alias("t_prev"))
+                .localCheckpoint()
+            )
+            lat = (F.unix_timestamp("t_done")
+                   - F.unix_timestamp("t_prev")).alias("lat")
+            base = joined.select(lat)
+            if exact:
+                pct = [F.percentile("lat", p) for p in (0.5, 0.9)]
+            else:
+                pct = [F.approx_percentile("lat", p, 10000)
+                       for p in (0.5, 0.9)]
+            stat_rows.append(base.agg(
+                F.lit(i + 1).cast("int").alias("step_no"),
+                F.lit(st).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+                F.round(pct[0], 6).alias("p50_s"),
+                F.round(pct[1], 6).alias("p90_s"),
+                F.round(F.sum("lat").cast("double")
+                        / F.greatest(F.count(F.lit(1)), F.lit(1)), 6)
+                .alias("mean_s")))
+            cur = joined.select("user", "t_done")
+        prev = cur
+    out = stat_rows[0]
+    for sr in stat_rows[1:]:
+        out = out.unionByName(sr)
+    return out

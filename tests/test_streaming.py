@@ -552,3 +552,35 @@ def test_rolling_active_users_closed_form(spark):
     assert "2024-03-05" not in got          # silent day: no row
     # u1 that day; u0 (days 2..4) and u2 (day 2) inside the 2..8 window
     assert got["2024-03-08"] == (1, 3, 1)
+
+
+def test_funnel_latency_closed_form(spark):
+    """Hand-built stream: u0 converts view->click in 10s and
+    click->purchase in 100s; u1 view->click in 30s, never purchases;
+    u2 only views. p50/p90 interpolate type-7 over [10, 30]."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        funnel_latency,
+    )
+
+    rows = [
+        ("u0", "view", "2024-05-01 10:00:00"),
+        ("u0", "click", "2024-05-01 10:00:10"),
+        ("u0", "click", "2024-05-01 10:00:50"),      # later click ignored
+        ("u0", "purchase", "2024-05-01 10:01:50"),
+        ("u1", "view", "2024-05-01 11:00:00"),
+        ("u1", "click", "2024-05-01 11:00:30"),
+        ("u1", "click", "2024-05-01 10:59:00"),      # before view: ignored
+        ("u2", "view", "2024-05-01 12:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_type string, s string") \
+        .select("user_id", "event_type", F.col("s").cast("timestamp").alias("ts"))
+    out = {r.step_no: r for r in funnel_latency(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {2, 3}
+    r2 = out[2]
+    assert (r2.step, r2.n_users) == ("click", 2)
+    # latencies [10, 30]: p50 = 20.0 (midpoint), p90 = 10 + 0.8*20 = 28.0
+    assert (r2.p50_s, r2.p90_s, r2.mean_s) == (20.0, 28.0, 20.0)
+    r3 = out[3]
+    assert (r3.step, r3.n_users) == ("purchase", 1)
+    assert (r3.p50_s, r3.p90_s, r3.mean_s) == (100.0, 100.0, 100.0)
