@@ -920,6 +920,24 @@ def events_dau(spark, sf_dir):
     return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
+def doc_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (sampling.weighted_sample_k,
+    Efraimidis-Spirakis): 50 docs per language drawn proportional to
+    document length (weight = length(text)+1) via the two-phase salted
+    top-k on ln(u)/w priorities; verbatim SQL restatement incl. the
+    md5-prefix hash."""
+    from legal_knowledge_graph_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_w", F.length("text") + 1)
+    out = weighted_sample_k(docs, k=50, weight_col="_w",
+                            strata_col="lang", seed=42)
+    return out.select("doc_id", "lang",
+                      F.col("_w").cast("long").alias("n_chars"))
+
+
 def events_funnel_latency(spark, sf_dir):
     """Conversion-latency percentiles for the view->click->purchase
     funnel (events_analytics.funnel_latency): per step k>=2, p50/p90/
@@ -1242,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_diversity": doc_ngram_diversity,
         "emb_knn_pq": emb_knn_pq,
         "events_funnel_latency": events_funnel_latency,
+        "doc_weighted_sample": doc_weighted_sample,
     }
 
 
@@ -2684,6 +2703,23 @@ SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT),
        round(quantile_cont(lat, 0.9), 6),
        round(CAST(sum(lat) AS DOUBLE) / greatest(count(*), 1), 6)
 FROM l3""",
+        # E-S weighted draw restated verbatim: same md5-prefix hash, same
+        # ln(u)/w priority, same (priority DESC, id ASC) total order
+        "doc_weighted_sample": """
+WITH slim AS (
+  SELECT doc_id, lang, length(text) + 1 AS w,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+           AS h
+  FROM documents
+  WHERE length(text) + 1 > 0
+), rk AS (
+  SELECT doc_id, lang, w,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY ln((h + 1) / 4294967296.0) / w DESC, doc_id ASC) AS r
+  FROM slim
+)
+SELECT doc_id, lang, CAST(w AS BIGINT) AS n_chars FROM rk WHERE r <= 50""",
         "doc_ngram_diversity": r"""
 WITH words AS MATERIALIZED (
   SELECT lang AS stratum,

@@ -256,3 +256,58 @@ def importance_weights(
         .agg(F.count(F.lit(1)).alias("n_tokens"),
              F.round(F.avg("lr"), 6).alias("importance"))
     )
+
+
+def weighted_sample_k(
+    docs: DataFrame, k: int, weight_col: str,
+    strata_col: str | None = None, seed: int = 42,
+    id_col: str = "doc_id", n_salts: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): exactly min(k, |stratum|) rows per stratum (one
+    global stratum when `strata_col` is None), drawn with inclusion
+    probability increasing in `weight_col` — the standard 'sample
+    proportional to quality/length score' draw for training mixes.
+
+    Per row, u = (hash32(id, seed) + 1) / 2^32 in (0, 1]; the E-S
+    priority u^(1/w) is rank-equivalent to ln(u)/w (monotone transform,
+    one transcendental instead of pow), so rows are the top-k by
+    (ln(u)/w DESC, id ASC) — a total order, reproducible on any engine
+    that computes md5 and ln. Rows with NULL or non-positive weight are
+    excluded (a zero weight cannot be drawn).
+
+    Scale shape: the same two-phase salted top-k as exact_k_per_stratum
+    (per-(stratum, hash mod n_salts) rank over a slim projection, then a
+    rank over <= k x n_salts candidates; LEFT SEMI re-attach keeps
+    payloads off both windows) — no single-reducer stratum sort. Output
+    is identical to the one-window form at any n_salts because a row's
+    per-salt rank lower-bounds its stratum rank."""
+    from pyspark.sql.window import Window
+
+    strata = strata_col
+    if strata is None:
+        docs = docs.withColumn("_stratum", F.lit(0))
+        strata = "_stratum"
+    slim = (
+        docs.select(strata, id_col, weight_col)
+        .where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_h", _hash32(id_col, seed))
+        .withColumn(
+            "_p",
+            F.log((F.col("_h") + 1) / F.lit(float(HASH_SPACE)))
+            / F.col(weight_col))
+    )
+    w1 = Window.partitionBy(
+        strata, F.pmod(F.col("_h"), F.lit(n_salts))
+    ).orderBy(F.col("_p").desc(), F.col(id_col).asc())
+    cand = (slim.withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= k).drop("_rk"))
+    w2 = Window.partitionBy(strata).orderBy(
+        F.col("_p").desc(), F.col(id_col).asc())
+    sel = (cand.withColumn("_rk", F.row_number().over(w2))
+           .where(F.col("_rk") <= k).select(strata, id_col))
+    out = docs.join(sel, [strata, id_col], "left_semi")
+    if strata_col is None:
+        out = out.drop("_stratum")
+        return out.select(*[c for c in docs.columns if c != "_stratum"])
+    return out.select(*docs.columns)

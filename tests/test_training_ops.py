@@ -1196,3 +1196,45 @@ def test_knn_ivf_pq_validates_inputs(spark):
         knn_ivf_pq(emb, [0], m_subvectors=2)   # 3 % 2 != 0
     with pytest.raises(ValueError):
         knn_ivf_pq(emb, [99])                  # query id absent
+
+
+def test_weighted_sample_k_matches_reference_and_salts_invariant(spark):
+    """E-S weighted draw: matches an independent hashlib/math replay,
+    identical at n_salts=1 vs 64, excludes non-positive weights, and is
+    exactly-k per stratum."""
+    import hashlib
+    import math
+
+    from legal_knowledge_graph_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "de",
+             0 if i == 7 else (i % 9) + 1) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, w int")
+
+    def h32(i, seed=42):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16)
+
+    exp = {}
+    for lang in ("en", "de"):
+        pri = [(math.log((h32(i) + 1) / 2**32) / w, -i)
+               for i, l, w in rows if l == lang and w > 0]
+        keep = sorted(pri, reverse=True)[:5]
+        exp[lang] = sorted(-i for _, i in keep)
+
+    got = weighted_sample_k(docs, k=5, weight_col="w",
+                            strata_col="lang").collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert {l: sorted(v) for l, v in by_lang.items()} == exp
+    assert 7 not in by_lang["de"] + by_lang["en"]  # zero weight never drawn
+
+    got1 = weighted_sample_k(docs, k=5, weight_col="w", strata_col="lang",
+                             n_salts=1).collect()
+    assert sorted((r.lang, r.doc_id) for r in got1) == \
+        sorted((r.lang, r.doc_id) for r in got)
+    # global (stratum-less) mode: exactly k rows, schema preserved
+    g = weighted_sample_k(docs, k=8, weight_col="w").collect()
+    assert len(g) == 8 and set(g[0].asDict()) == {"doc_id", "lang", "w"}

@@ -117,18 +117,19 @@ def main() -> None:
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", "scaling.json")
+    # always MERGE into scaling.json: the file accumulates skew/temporal/
+    # graph evidence entries that a main-sweep rerun must not destroy
+    existing = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
     if mega:
-        existing = {}
-        if os.path.exists(out_path):
-            with open(out_path) as f:
-                existing = json.load(f)
         result["mega_files"] = mega
         existing["skew_pair"] = result
-        with open(out_path, "w") as f:
-            json.dump(existing, f, indent=1)
     else:
-        with open(out_path, "w") as f:
-            json.dump(result, f, indent=1)
+        existing.update(result)
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=1)
     print(json.dumps(result))
 
 
