@@ -920,6 +920,28 @@ def events_dau(spark, sf_dir):
     return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
+def doc_bpe_tokens(spark, sf_dir):
+    """Distributed BPE application (bpe.apply_bpe): tokenize the corpus
+    with the committed learned-merge artifact (golden_bpe.parquet — the
+    model, exactly how production tokenization consumes a trained
+    tokenizer) and report per-doc word/token counts. Folds run in rank
+    order over the DISTINCT word table (pure Catalyst, no UDF); the
+    oracle is the committed golden from the independent dict applier
+    (tools/make_bpe_golden.py)."""
+    from legal_knowledge_graph_spark.operators.bpe import apply_bpe
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    merges_path = os.path.join(os.path.dirname(_GOLDEN_DIR), sf,
+                               "golden_bpe.parquet")
+    merges = [(r.left, r.right)
+              for r in spark.read.parquet(merges_path)
+              .orderBy("rank").collect()]
+    toks = apply_bpe(_t(spark, sf_dir, "documents"), merges)
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("tokens")).alias("n_tokens"))
+
+
 def doc_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (sampling.weighted_sample_k,
     Efraimidis-Spirakis): 50 docs per language drawn proportional to
@@ -1261,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_pq": emb_knn_pq,
         "events_funnel_latency": events_funnel_latency,
         "doc_weighted_sample": doc_weighted_sample,
+        "doc_bpe_tokens": doc_bpe_tokens,
     }
 
 
@@ -2750,6 +2773,11 @@ FROM grams GROUP BY stratum, n""",
         "doc_bpe_merges": f'''
 SELECT rank, "left", "right", pair_count
 FROM read_parquet(\'{_GOLDEN_DIR}/golden_bpe.parquet\')''',
+        # application counts from the independent dict applier
+        # (tools/make_bpe_golden.py) — shares no code with apply_bpe
+        "doc_bpe_tokens": f'''
+SELECT doc_id, n_words, n_tokens
+FROM read_parquet(\'{_GOLDEN_DIR}/golden_bpe_tokens.parquet\')''',
         "doc_length_stats": r"""
 WITH toks AS (
   SELECT lang AS stratum,

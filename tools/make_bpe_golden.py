@@ -81,6 +81,44 @@ def main() -> None:
         pq.write_table(table, os.path.join(out, "golden_bpe.parquet"))
         print(f"{sf}: {len(merges)} merges -> {out}/golden_bpe.parquet")
 
+        # application golden: per-doc word/token counts under the learned
+        # merges — the final `syms` state of an independent dict applier
+        # (re-derived here from scratch so it shares nothing with Spark)
+        syms = {}
+        rows = con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{src}') ORDER BY doc_id"
+        ).fetchall()
+        mset = [(m[1], m[2]) for m in merges]
+
+        def apply_word(w):
+            if w not in syms:
+                s = list(w) + [END]
+                for a, b in mset:
+                    out_s = [s[0]]
+                    for x in s[1:]:
+                        if out_s[-1] == a and x == b:
+                            out_s[-1] = a + b
+                        else:
+                            out_s.append(x)
+                    s = out_s
+                syms[w] = s
+            return syms[w]
+
+        tok_rows = []
+        for doc_id, text in rows:
+            words = [w for w in (text or "").lower().split() if w]
+            if not words:
+                continue
+            tok_rows.append((doc_id, len(words),
+                             sum(len(apply_word(w)) for w in words)))
+        ttable = pa.table({
+            "doc_id": pa.array([r[0] for r in tok_rows], pa.int64()),
+            "n_words": pa.array([r[1] for r in tok_rows], pa.int64()),
+            "n_tokens": pa.array([r[2] for r in tok_rows], pa.int64()),
+        })
+        pq.write_table(ttable, os.path.join(out, "golden_bpe_tokens.parquet"))
+        print(f"{sf}: {len(tok_rows)} docs -> {out}/golden_bpe_tokens.parquet")
+
     if "--check" in sys.argv:
         sys.path.insert(0, os.path.dirname(ROOT))
         from legal_knowledge_graph_spark.operators.bpe import learn_bpe
