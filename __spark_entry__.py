@@ -1028,6 +1028,34 @@ def events_error_aftermath(spark, sf_dir):
     )
 
 
+def events_overlap(spark, sf_dir):
+    """Interval-overlap join (temporal.interval_overlap_join): per error
+    event, the same user's purchase windows ([ts, ts+30min)) overlapping
+    the error's 10-minute window. Both sides bucket to fixed-width time
+    cells and pairs emit only in their overlap-start bucket (exact, no
+    dedup); the oracle is the quadratic theta-join this avoids."""
+    from legal_knowledge_graph_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("e0"),
+        (F.col("ts") + F.expr("interval 600 seconds")).alias("e1"))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p0"),
+        (F.col("ts") + F.expr("interval 1800 seconds")).alias("p1"))
+    ov = interval_overlap_join(
+        errors, purch, ["user_id"],
+        left_start="e0", left_end="e1",
+        right_start="p0", right_end="p1", bucket_width_s=900)
+    return ov.groupBy("error_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.min("purchase_id").alias("first_purchase_id"))
+
+
 def doc_importance(spark, sf_dir):
     """DSIR-style importance weights (sampling.importance_weights):
     hashed-unigram log-likelihood ratio of the English slice vs the raw
@@ -1284,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_latency": events_funnel_latency,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_bpe_tokens": doc_bpe_tokens,
+        "events_overlap": events_overlap,
     }
 
 
@@ -2726,6 +2755,25 @@ SELECT CAST(3 AS INT), 'purchase', CAST(count(*) AS BIGINT),
        round(quantile_cont(lat, 0.9), 6),
        round(CAST(sum(lat) AS DOUBLE) / greatest(count(*), 1), 6)
 FROM l3""",
+        # deliberately the quadratic BETWEEN/overlap theta-join the
+        # engine's bucket equi-join avoids
+        "events_overlap": """
+WITH errors AS MATERIALIZED (
+  SELECT event_id AS error_id, user_id, ts AS e0,
+         ts + INTERVAL 600 SECOND AS e1
+  FROM events WHERE event_type = 'error'
+), purch AS MATERIALIZED (
+  SELECT event_id AS purchase_id, user_id, ts AS p0,
+         ts + INTERVAL 1800 SECOND AS p1
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.error_id, e.user_id,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       min(p.purchase_id) AS first_purchase_id
+FROM errors e JOIN purch p
+  ON p.user_id = e.user_id
+ AND greatest(e.e0, p.p0) < least(e.e1, p.p1)
+GROUP BY e.error_id, e.user_id""",
         # E-S weighted draw restated verbatim: same md5-prefix hash, same
         # ln(u)/w priority, same (priority DESC, id ASC) total order
         "doc_weighted_sample": """

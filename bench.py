@@ -94,7 +94,7 @@ def main() -> None:
         # tail perplexity terciles
         "graph_link_predict", "doc_ccnet_buckets", "graph_ppr",
         "events_dau", "doc_ngram_diversity", "emb_knn_pq",
-        "events_funnel_latency", "doc_weighted_sample",
+        "events_funnel_latency", "doc_weighted_sample", "events_overlap",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

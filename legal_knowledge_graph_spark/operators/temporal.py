@@ -209,3 +209,54 @@ def point_in_interval_join(
         (F.col(point_ts) >= F.col(start_col))
         & (F.col(point_ts) < F.col(end_col)))
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame, right: DataFrame, key_cols: list[str],
+    left_start: str = "start", left_end: str = "end",
+    right_start: str = "start", right_end: str = "end",
+    bucket_width_s: int = 600,
+) -> DataFrame:
+    """Exact half-open interval-overlap join: every (left, right) pair on
+    the same key with max(starts) < min(ends) — the interval x interval
+    companion to `point_in_interval_join` (maintenance windows vs
+    incident windows, session vs campaign spans, …).
+
+    Both sides explode to their covered fixed-width time buckets and
+    equi-join on (key…, bucket); a pair is emitted ONLY in the bucket
+    containing its overlap start floor(max(s_l, s_r)/w) — which lies in
+    both sides' bucket ranges whenever the intervals truly overlap — so
+    matches are exact with NO post-dedup however many buckets a pair
+    shares. Empty intervals (end <= start) match nothing by the overlap
+    predicate itself. Fan-out per row is ceil(len/width)+1: choose
+    `bucket_width_s` near the typical interval length. Never a
+    BroadcastNestedLoop/theta join — the oracle deliberately uses that
+    quadratic form. Column names must be disjoint outside key_cols."""
+    clash = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if clash:
+        raise ValueError(f"non-key column collision: {sorted(clash)}")
+
+    def _epoch_s(c: Column) -> Column:
+        return c.cast("timestamp").cast("double")
+
+    eps = F.expr("interval 1 microsecond")
+
+    def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.where(F.col(s) < F.col(e)).withColumn(
+            "_bucket",
+            F.explode(F.sequence(
+                F.floor(_epoch_s(F.col(s)) / bucket_width_s),
+                F.floor(_epoch_s(F.col(e) - eps) / bucket_width_s))))
+
+    l = buckets(left, left_start, left_end)
+    r = buckets(right, right_start, right_end)
+    overlap_start = F.greatest(_epoch_s(F.col(left_start)),
+                               _epoch_s(F.col(right_start)))
+    return (
+        l.join(r, [*key_cols, "_bucket"])
+        .where(
+            (F.greatest(F.col(left_start), F.col(right_start))
+             < F.least(F.col(left_end), F.col(right_end)))
+            & (F.col("_bucket") == F.floor(overlap_start / bucket_width_s)))
+        .drop("_bucket")
+    )

@@ -202,3 +202,54 @@ def test_asof_chunked_random_stream(spark):
     # rows each; threshold 150 puts most keys hot, 10**6 none)
     assert base == run(chunk_width_s=7, hot_key_threshold=150)
     assert base == run(chunk_width_s=7, hot_key_threshold=10**6)
+
+
+@pytest.mark.parametrize("width", [1, 7, 3600])
+def test_interval_overlap_join_vs_bruteforce(spark, width):
+    """Bucketed overlap join equals the brute-force theta join at any
+    bucket width; empty intervals match nothing; pairs sharing many
+    buckets appear exactly once."""
+    from legal_knowledge_graph_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    base = 1_700_000_000
+    iv = spark.range(300).select(
+        F.col("id").alias("lid"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 4).alias("key"),
+        F.timestamp_seconds(
+            base + F.abs(F.xxhash64("id", F.lit(2))) % 120).alias("s1"),
+        F.timestamp_seconds(
+            base + F.abs(F.xxhash64("id", F.lit(2))) % 120
+            + F.abs(F.xxhash64("id", F.lit(3))) % 40
+            - 2).alias("e1"))  # some empty/negative-length intervals
+    rv = spark.range(300).select(
+        (F.col("id") + 1000).alias("rid"),
+        (F.abs(F.xxhash64("id", F.lit(4))) % 4).alias("key"),
+        F.timestamp_seconds(
+            base + F.abs(F.xxhash64("id", F.lit(5))) % 120).alias("s2"),
+        F.timestamp_seconds(
+            base + F.abs(F.xxhash64("id", F.lit(5))) % 120
+            + F.abs(F.xxhash64("id", F.lit(6))) % 40 - 2).alias("e2"))
+    got = sorted(
+        (r.lid, r.rid) for r in interval_overlap_join(
+            iv, rv, ["key"], left_start="s1", left_end="e1",
+            right_start="s2", right_end="e2",
+            bucket_width_s=width).collect())
+    want = sorted(
+        (r.lid, r.rid) for r in iv.alias("l").join(
+            rv.alias("r"), F.col("l.key") == F.col("r.key")).where(
+            F.greatest("s1", "s2") < F.least("e1", "e2")).collect())
+    assert got == want and want  # non-trivial fixture
+    assert len(got) == len(set(got))  # exactly-once emission
+
+
+def test_interval_overlap_join_rejects_column_clash(spark):
+    from legal_knowledge_graph_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "key long, start double, end double")
+    with pytest.raises(ValueError):
+        interval_overlap_join(df, df, ["key"])
