@@ -920,6 +920,19 @@ def events_dau(spark, sf_dir):
     return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
+def doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (text_analysis.chunk_documents): 64-token
+    windows, 16-token overlap — one projection + one explode, zero
+    shuffle; integer DIV chunk-count arithmetic restated verbatim in
+    SQL."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=64, overlap_tokens=16)
+
+
 def doc_bpe_tokens(spark, sf_dir):
     """Distributed BPE application (bpe.apply_bpe): tokenize the corpus
     with the committed learned-merge artifact (golden_bpe.parquet — the
@@ -1313,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": doc_weighted_sample,
         "doc_bpe_tokens": doc_bpe_tokens,
         "events_overlap": events_overlap,
+        "doc_chunks": doc_chunks,
     }
 
 
@@ -2774,6 +2788,31 @@ FROM errors e JOIN purch p
   ON p.user_id = e.user_id
  AND greatest(e.e0, p.p0) < least(e.e1, p.p1)
 GROUP BY e.error_id, e.user_id""",
+        # same integer DIV chunk-count arithmetic, same slice bounds
+        "doc_chunks": r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                        '\s+'), x -> x <> '') AS w
+  FROM documents
+), nz AS (
+  SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) > 0
+), k AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n <= 64 THEN 1
+              ELSE ((n - 64) + 47) // 48 + 1 END AS kmax
+  FROM nz
+), c AS (
+  SELECT doc_id, w, n, unnest(generate_series(0, kmax - 1)) AS chunk_id
+  FROM k
+)
+SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+       least(64, n - chunk_id * 48) AS n_tok,
+       array_to_string(
+           array_slice(w, chunk_id * 48 + 1,
+                       chunk_id * 48 + least(64, n - chunk_id * 48)),
+           ' ') AS chunk_text
+FROM c""",
         # E-S weighted draw restated verbatim: same md5-prefix hash, same
         # ln(u)/w priority, same (priority DESC, id ASC) total order
         "doc_weighted_sample": """

@@ -95,6 +95,7 @@ def main() -> None:
         "graph_link_predict", "doc_ccnet_buckets", "graph_ppr",
         "events_dau", "doc_ngram_diversity", "emb_knn_pq",
         "events_funnel_latency", "doc_weighted_sample", "events_overlap",
+        "doc_chunks",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -829,3 +829,52 @@ def ngram_diversity(
             .alias("diversity"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 128, overlap_tokens: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / long-context prep
+    step): each document splits into windows of `chunk_tokens`
+    whitespace tokens advancing by stride = chunk_tokens -
+    overlap_tokens, so consecutive chunks share `overlap_tokens` tokens
+    and every token is covered. Chunk count K = 1 when n <= chunk, else
+    ceil((n - chunk)/stride) + 1 — integer arithmetic (DIV) on both
+    engines, so the layout is bit-exact and the SQL oracle verbatim.
+
+    Output: (doc_id, chunk_id 0-based, start_tok 0-based, n_tok,
+    chunk_text). Empty docs produce no chunks.
+
+    Scale shape (100 TB): one projection + one explode — zero shuffle,
+    zero joins; fan-out per doc is K (bounded by len/stride), and the
+    chunk text is rebuilt by an in-row slice, never a self-join."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap must be smaller than the chunk size")
+    stride = chunk_tokens - overlap_tokens
+    w = F.filter(_split_words(text_col), lambda x: x != "")
+    base = docs.select("doc_id", w.alias("_w")).where(F.size("_w") > 0)
+    n = F.size("_w")
+    # K = 1 leading chunk + ceil((n - chunk)/stride) tail chunks; the
+    # DIV of the (+stride-1)-shifted numerator IS that ceil (integer
+    # arithmetic, bit-exact on both engines)
+    k_max = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.expr(f"((size(_w) - {chunk_tokens}) + {stride - 1})"
+               f" div {stride}") + 1)
+    chunks = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), k_max - 1)).alias("chunk_id"),
+        "_w",
+    ).select(
+        "doc_id", "chunk_id",
+        (F.col("chunk_id") * stride).alias("start_tok"),
+        F.slice(
+            "_w", F.col("chunk_id") * stride + 1,
+            F.least(F.lit(chunk_tokens),
+                    F.size("_w") - F.col("chunk_id") * stride)
+        ).alias("_toks"),
+    )
+    return chunks.select(
+        "doc_id", "chunk_id", "start_tok",
+        F.size("_toks").alias("n_tok"),
+        F.concat_ws(" ", "_toks").alias("chunk_text"))

@@ -1238,3 +1238,37 @@ def test_weighted_sample_k_matches_reference_and_salts_invariant(spark):
     # global (stratum-less) mode: exactly k rows, schema preserved
     g = weighted_sample_k(docs, k=8, weight_col="w").collect()
     assert len(g) == 8 and set(g[0].asDict()) == {"doc_id", "lang", "w"}
+
+
+def test_chunk_documents_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))),  # 10 toks: 3 chunks
+         (1, "a b c"),                               # fits one chunk
+         (2, ""),                                    # no chunks
+         (3, " ".join(f"x{i}" for i in range(5)))],  # n == chunk exactly
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=5, overlap_tokens=2)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert {d for d, _ in rows} == {0, 1, 3}
+    # doc 0: starts 0,3,6 — ceil((10-5)/3)=2 tails; last chunk truncated
+    assert [(rows[(0, k)].start_tok, rows[(0, k)].n_tok)
+            for k in range(3)] == [(0, 5), (3, 5), (6, 4)]
+    assert rows[(0, 1)].chunk_text == "t3 t4 t5 t6 t7"
+    # consecutive chunks overlap by exactly overlap_tokens
+    assert rows[(0, 0)].chunk_text.split()[-2:] == \
+        rows[(0, 1)].chunk_text.split()[:2]
+    # full coverage: union of [start, start+n) spans 0..10
+    covered = set()
+    for k in range(3):
+        r = rows[(0, k)]
+        covered |= set(range(r.start_tok, r.start_tok + r.n_tok))
+    assert covered == set(range(10))
+    assert (rows[(1, 0)].start_tok, rows[(1, 0)].n_tok) == (0, 3)
+    assert (3, 1) not in rows and (rows[(3, 0)].n_tok) == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=5, overlap_tokens=5)
