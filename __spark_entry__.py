@@ -362,6 +362,18 @@ def emb_cosine_topk(spark, sf_dir):
     return knn_bruteforce(e, _KNN_QUERY_IDS, k=10)
 
 
+def emb_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label prediction (similarity.knn_classify):
+    exact cosine top-10 neighbors per query (broadcast-query scan), one
+    label equi-join, deterministic (votes DESC, label ASC) argmax."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    return knn_classify(_t(spark, sf_dir, "embeddings"),
+                        _KNN_QUERY_IDS, k=10)
+
+
 def emb_knn_ivf(spark, sf_dir):
     """IVF ANN (similarity.knn_ivf): KMeans-cell blocked approximate top-k.
     KMeans is not SQL-expressible, so the oracle is the committed golden
@@ -894,6 +906,43 @@ def events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def doc_inverted_index(spark, sf_dir):
+    """Capped-posting inverted index (text_analysis.inverted_index):
+    distinct (word, doc_id) pairs, salted two-phase smallest-20
+    selection (no full-group sort on stopwords), df >= 2, CSV posting
+    serialization."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        inverted_index,
+    )
+
+    return inverted_index(_t(spark, sf_dir, "documents"),
+                          max_postings=20, min_df=2)
+
+
+def events_markov(spark, sf_dir):
+    """First-order Markov next-event transition matrix
+    (events_analytics.markov_transitions): per-user sequences ordered by
+    (ts, event_id), lead() pairing, conditional probabilities over the
+    tiny |types|^2 aggregate."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        markov_transitions,
+    )
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+def events_anomaly(spark, sf_dir):
+    """Hourly volume anomalies (events_analytics.rolling_anomaly):
+    per-type hourly counts scored by z vs the 24 preceding observed
+    hours (self-excluded, 12-row cold-start guard, null z on flat
+    history)."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        rolling_anomaly,
+    )
+
+    return rolling_anomaly(_t(spark, sf_dir, "events"))
+
+
 def doc_ngram_diversity(spark, sf_dir):
     """Per-language n-gram diversity profile (text_analysis.
     ngram_diversity): corpus-level type-token ratio and its 2/3-gram
@@ -1199,6 +1248,33 @@ def graph_hits(spark, sf_dir):
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
+def graph_sssp(spark, sf_dir):
+    """Weighted shortest paths (graph_algos.sssp_weighted: Bellman-Ford
+    min-relaxation, hop-bounded, observe()-gated fixpoint exit that is
+    output-identical to the oracle's fixed 6-round unroll) from two
+    nation seeds over the undirected purchase graph. Edge weights:
+    customer->supplier = min l_quantity over the pair (integral 1..50,
+    so path sums are integer-exact), supplier->nation = 1."""
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        sssp_weighted,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    cs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("l_quantity").alias("weight"))
+    sn = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        F.lit(1.0).alias("weight"))
+    out = sssp_weighted(cs.unionByName(sn), ["n3", "n15"],
+                        max_hops=6, directed=False)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
 BM25_QUERIES = {
     "q_join": ["hash", "join", "merge"],
     "q_scan": ["scan", "filter", "column"],
@@ -1277,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "emb_dedup_keep": emb_dedup_keep,
         "emb_cosine_topk": emb_cosine_topk,
+        "emb_knn_classify": emb_knn_classify,
         "emb_knn_lsh": emb_knn_lsh,
         "emb_knn_ivf": emb_knn_ivf,
         "multimodal_features": multimodal_features,
@@ -1308,11 +1385,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": doc_bm25,
         "graph_hits": graph_hits,
         "graph_kcore": graph_kcore,
+        "graph_sssp": graph_sssp,
         "doc_length_stats": doc_length_stats,
         "doc_bpe_merges": doc_bpe_merges,
         "graph_bfs": graph_bfs,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "events_markov": events_markov,
+        "events_anomaly": events_anomaly,
+        "doc_inverted_index": doc_inverted_index,
         "events_asof": events_asof,
         "events_error_aftermath": events_error_aftermath,
         "doc_importance": doc_importance,
@@ -1953,6 +2034,44 @@ SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}""")
     return "".join(parts)
 
 
+def _sssp_oracle(seeds: list, max_hops: int) -> str:
+    """Fixed-unroll SQL restatement of graph_algos.sssp_weighted on the
+    weighted symmetrized purchase graph (parallel edges min-collapsed
+    exactly as the operator does). Settled rounds are identity, so the
+    Spark side's (count, sum)-observed early exit is output-identical."""
+    seed_vals = ", ".join(f"('{s}', 0.0)" for s in sorted(set(seeds)))
+    parts = [f"""
+WITH base AS MATERIALIZED (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(l_quantity AS DOUBLE) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR),
+         'n' || CAST(s_nationkey AS VARCHAR), 1.0
+  FROM supplier
+), e AS MATERIALIZED (
+  SELECT u, v, min(w) AS w FROM (
+    SELECT src AS u, dst AS v, w FROM base
+    UNION ALL
+    SELECT dst AS u, src AS v, w FROM base
+  ) WHERE u <> v GROUP BY u, v
+), d0(node, dist) AS (VALUES {seed_vals})"""]
+    for i in range(1, max_hops + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w AS dist
+    FROM e JOIN d{i - 1} d ON d.node = e.u
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -2454,6 +2573,26 @@ WITH RECURSIVE pairs AS (
 SELECT t AS vec_id, min(r) AS group_rep, t = min(r) AS keep
 FROM reach GROUP BY t""",
         "emb_cosine_topk": _TOPK_SQL,
+        "emb_knn_classify": _COS_CTE + """
+, rk AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+  FROM pairs
+), votes AS (
+  SELECT n.query_id, e.label, count(*) AS votes
+  FROM rk n JOIN embeddings e ON e.vec_id = n.neighbor_id
+  WHERE n.rank <= 10
+  GROUP BY n.query_id, e.label
+), best AS (
+  SELECT query_id, label AS predicted_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS r
+  FROM votes
+)
+SELECT b.query_id, t.label AS true_label, b.predicted_label, b.votes
+FROM best b JOIN embeddings t ON t.vec_id = b.query_id
+WHERE b.r = 1""",
         # ANN with deterministic full top-10 coverage on this corpus (see
         # emb_knn_lsh docstring) -> the exact top-k IS its oracle.
         "emb_knn_lsh": _TOPK_SQL,
@@ -2652,6 +2791,7 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
       < r.accept_frac * 4294967296""",
         "graph_hits": _hits_oracle(n_iter=5, k=20),
         "graph_bfs": _bfs_oracle(["n3", "n15"], max_hops=6),
+        "graph_sssp": _sssp_oracle(["n3", "n15"], max_hops=6),
         # same wedge-group-anti-join pipeline restated in SQL with the
         # same apex-degree cap; a degree-1 apex forms no pair so the
         # 1/ln(1) pole is unreachable on both sides
@@ -2723,6 +2863,66 @@ SELECT strftime(CAST(f.cohort AS DATE), '%Y-%m-%d') AS cohort_week,
 FROM ew JOIN f ON f.u = ew.u
 GROUP BY 1, 2""",
         "graph_kcore": _kcore_oracle(k=3, n_rounds=8),
+        "doc_inverted_index": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wl
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(wl) AS word FROM toks
+  ) WHERE word <> ''
+), dfreq AS (
+  SELECT word, count(*) AS df FROM pairs GROUP BY word
+), ranked AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY word ORDER BY doc_id ASC) AS rk
+  FROM pairs
+), posts AS (
+  SELECT word,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id ASC)
+           AS postings
+  FROM ranked WHERE rk <= 20 GROUP BY word
+)
+SELECT f.word, f.df, p.postings
+FROM dfreq f JOIN posts p USING (word)
+WHERE f.df >= 2""",
+        "events_markov": """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS prob
+FROM counts""",
+        "events_anomaly": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour, n,
+         count(*) OVER w AS n_prev,
+         avg(n) OVER w AS mean_raw,
+         stddev_samp(n) OVER w AS std_raw
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+  round(CASE WHEN n_prev >= 12 THEN mean_raw END, 6) AS mean_prev,
+  round(CASE WHEN n_prev >= 12 THEN std_raw END, 6) AS std_prev,
+  round(CASE WHEN n_prev >= 12 AND std_raw > 0
+             THEN (n - mean_raw) / std_raw END, 6) AS z,
+  coalesce(abs(CASE WHEN n_prev >= 12 AND std_raw > 0
+               THEN (n - mean_raw) / std_raw END) > 3.0, false) AS is_anomaly
+FROM scored""",
         # quadratic BETWEEN form on purpose — the engine's explode-based
         # fan-out must agree with the naive trailing-window semantics
         "events_dau": """

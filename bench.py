@@ -96,6 +96,10 @@ def main() -> None:
         "events_dau", "doc_ngram_diversity", "emb_knn_pq",
         "events_funnel_latency", "doc_weighted_sample", "events_overlap",
         "doc_chunks",
+        # round-5 sixth-session additions: weighted shortest paths,
+        # Markov next-event transitions, rolling z-score anomalies
+        "graph_sssp", "events_markov", "events_anomaly",
+        "doc_inverted_index", "emb_knn_classify",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

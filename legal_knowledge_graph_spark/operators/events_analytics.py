@@ -188,3 +188,96 @@ def funnel_latency(
     for sr in stat_rows[1:]:
         out = out.unionByName(sr)
     return out
+
+
+def markov_transitions(
+    events: DataFrame, user_col: str = "user_id",
+    type_col: str = "event_type", ts_col: str = "ts",
+    tiebreak_col: str = "event_id", min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: order each user's events by (ts, tiebreak), pair each
+    event with its successor, and emit
+
+        (from_type, to_type, n, prob = n / sum_n(from_type))
+
+    — the standard next-action model behind "what do users do after X"
+    product questions (the reference's pipeline has no event analytics
+    at all; this extends the engine's events suite). `min_count` prunes
+    rare transitions AFTER the row-probability denominator is fixed, so
+    reported probs are true conditionals of the full stream.
+
+    Scale shape (100 TB event log): ONE shuffle on user_id for the
+    sequence window (lead() needs per-user order — inherent), then a
+    map-side-combining groupBy on (from, to) whose cardinality is
+    |types|^2, tiny by construction; the per-from denominator attaches
+    via a window over that tiny aggregate, not the raw stream."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return (
+        counts
+        .withColumn("prob", F.round(F.col("n") / F.sum("n").over(wf), 6))
+        .where(F.col("n") >= min_count)
+        .select("from_type", "to_type", "n", "prob")
+    )
+
+
+def rolling_anomaly(
+    events: DataFrame, type_col: str = "event_type", ts_col: str = "ts",
+    lookback: int = 24, min_periods: int = 12, z_threshold: float = 3.0,
+) -> DataFrame:
+    """Hourly volume anomalies per event type: bucket the stream into
+    hours, then score each (type, hour) count against the mean/stddev of
+    the `lookback` PRECEDING observed hourly rows (current hour
+    excluded — the score must not see itself):
+
+        z = (n - mean_prev) / std_prev
+
+    Stats are null until `min_periods` preceding rows exist (cold
+    start) and z is null when std_prev = 0 (a flat history makes any
+    deviation infinitely surprising — flagging is the caller's policy
+    call, so the operator reports null rather than inventing a clamp).
+    `is_anomaly` = |z| > z_threshold, false (not null) when z is
+    undefined so the flag column is always concrete. The ROWS frame is
+    over observed
+    hours, so gaps in the stream neither crash nor zero-fill.
+
+    Scale shape (100 TB event log): the raw stream collapses to
+    (type, hour) counts in ONE map-side-combining aggregate — the
+    window runs over that tiny hourly table (|types| x |hours|), never
+    the raw events; per-type frames shuffle only the aggregate."""
+    from pyspark.sql.window import Window
+
+    hourly = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour") \
+        .rowsBetween(-lookback, -1)
+    n_prev = F.count(F.lit(1)).over(w)
+    mean_prev = F.when(
+        n_prev >= min_periods, F.avg("n").over(w))
+    std_prev = F.when(
+        n_prev >= min_periods, F.stddev_samp("n").over(w))
+    z = F.when(std_prev > 0, (F.col("n") - mean_prev) / std_prev)
+    return hourly.select(
+        "event_type", "hour", "n",
+        F.round(mean_prev, 6).alias("mean_prev"),
+        F.round(std_prev, 6).alias("std_prev"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False))
+        .alias("is_anomaly"),
+    )

@@ -369,3 +369,39 @@ def knn_ivf_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_classify(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: each query's label is the most
+    common label among its exact cosine top-k neighbors (self excluded;
+    ties broken by the smallest label — a total order, deterministic).
+    Output (query_id, true_label, predicted_label, votes) — the standard
+    embedding-quality probe (can the space recover held-out labels?)
+    over the same corpus the ANN operators index.
+
+    Scale shape (100 TB): the neighbor set is knn_bruteforce's broadcast
+    query scan (corpus never shuffles); labels attach by one equi-join
+    on neighbor_id; voting aggregates |queries| x k rows — driver-tiny
+    by construction."""
+    from pyspark.sql.window import Window
+
+    nn = knn_bruteforce(embeddings, query_ids, k=k,
+                        id_col=id_col, vec_col=vec_col)
+    labels = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(label_col).alias("_nb_label"))
+    votes = nn.join(labels, "neighbor_id") \
+        .groupBy("query_id", "_nb_label") \
+        .agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_nb_label").asc())
+    best = votes.withColumn("_r", F.row_number().over(w)) \
+        .where(F.col("_r") == 1)
+    truth = embeddings.select(F.col(id_col).alias("query_id"),
+                              F.col(label_col).alias("true_label"))
+    return best.join(truth, "query_id").select(
+        "query_id", "true_label",
+        F.col("_nb_label").alias("predicted_label"), "votes")

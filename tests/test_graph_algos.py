@@ -568,3 +568,51 @@ def test_personalized_pagerank_matches_reference(spark):
                             rel_tol=1e-9, abs_tol=1e-15), node
     with pytest.raises(ValueError):
         pagerank(e, n_iter=2, seeds=["zz"])
+
+
+def test_sssp_weighted_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        sssp_weighted,
+    )
+
+    # cheapest path beats fewest hops: a-b-c costs 2, direct a-c costs 10
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 10.0),
+             ("c", "d", 5.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.node: r.dist
+           for r in sssp_weighted(df, ["a"], max_hops=8).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 7.0}
+    # hop bound: with <=1 edge the direct (expensive) edge wins for c
+    got1 = {r.node: r.dist
+            for r in sssp_weighted(df, ["a"], max_hops=1).collect()}
+    assert got1 == {"a": 0.0, "b": 1.0, "c": 10.0}
+    # parallel edges collapse to min weight
+    dup = spark.createDataFrame(
+        edges + [("a", "b", 0.5)], "src string, dst string, weight double")
+    assert {r.node: r.dist
+            for r in sssp_weighted(dup, ["a"], max_hops=8).collect()}["b"] \
+        == 0.5
+    # directed: no back-traversal
+    gotd = {r.node: r.dist for r in sssp_weighted(
+        df, ["c"], max_hops=8, directed=True).collect()}
+    assert gotd == {"c": 0.0, "d": 5.0}
+    # multi-source min over seeds
+    gotm = {r.node: r.dist
+            for r in sssp_weighted(df, ["a", "d"], max_hops=8).collect()}
+    assert gotm == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 0.0}
+
+
+def test_sssp_weighted_early_exit_identical_to_full_unroll(spark):
+    from legal_knowledge_graph_spark.operators.graph_algos import (
+        sssp_weighted,
+    )
+
+    # a 4-cycle with a tail: fixpoint reached well before 12 rounds, so
+    # the (count, sum)-observed early exit must not change the output
+    edges = [("a", "b", 2.0), ("b", "c", 3.0), ("c", "d", 2.0),
+             ("d", "a", 3.0), ("d", "e", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    fast = sorted(map(tuple, sssp_weighted(df, ["a"], max_hops=12).collect()))
+    slow = sorted(map(tuple, sssp_weighted(df, ["a"], max_hops=4).collect()))
+    assert fast == slow == [
+        ("a", 0.0), ("b", 2.0), ("c", 5.0), ("d", 3.0), ("e", 4.0)]

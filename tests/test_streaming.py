@@ -584,3 +584,85 @@ def test_funnel_latency_closed_form(spark):
     r3 = out[3]
     assert (r3.step, r3.n_users) == ("purchase", 1)
     assert (r3.p50_s, r3.p90_s, r3.mean_s) == (100.0, 100.0, 100.0)
+
+
+def test_markov_transitions_closed_form(spark):
+    from datetime import datetime as dt
+
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        markov_transitions,
+    )
+
+    t = lambda m: dt(2024, 1, 1, 0, m)
+    rows = [
+        # u1: a -> b -> a   u2: a -> b   u3: b alone (no transition)
+        (1, 1, "a", t(0)), (2, 1, "b", t(1)), (3, 1, "a", t(2)),
+        (4, 2, "a", t(0)), (5, 2, "b", t(1)),
+        (6, 3, "b", t(5)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in markov_transitions(ev).collect()}
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+    # simultaneous timestamps break ties by event_id, deterministically
+    tie = spark.createDataFrame(
+        [(10, 7, "x", t(0)), (11, 7, "y", t(0)), (12, 7, "z", t(0))],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    got2 = {(r.from_type, r.to_type) for r in markov_transitions(tie).collect()}
+    assert got2 == {("x", "y"), ("y", "z")}
+    # min_count prunes AFTER the denominator is fixed: a->b twice and
+    # a->c once means surviving a->b reports 2/3, not 1.0
+    mix = spark.createDataFrame(
+        [(1, 1, "a", t(0)), (2, 1, "b", t(1)),
+         (3, 2, "a", t(0)), (4, 2, "b", t(1)),
+         (5, 3, "a", t(0)), (6, 3, "c", t(1))],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    got3 = {(r.from_type, r.to_type): r.prob
+            for r in markov_transitions(mix, min_count=2).collect()}
+    assert got3 == {("a", "b"): round(2 / 3, 6)}
+
+
+def test_rolling_anomaly_closed_form(spark):
+    from datetime import datetime as dt
+
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        rolling_anomaly,
+    )
+
+    # one event per (hour, i) so hour h has h+1 events for h in 0..11,
+    # then a 100-event spike at hour 12
+    rows = []
+    eid = 0
+    for h in range(12):
+        for i in range(h + 1):
+            rows.append((eid, 1, "a", dt(2024, 1, 1, h, min(i, 59))))
+            eid += 1
+    for i in range(100):
+        rows.append((eid, 1, "a", dt(2024, 1, 1, 12, min(i, 59))))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r.hour.hour: r for r in rolling_anomaly(
+        ev, lookback=24, min_periods=12, z_threshold=3.0).collect()}
+    # cold start: hours 0..11 have < 12 preceding rows -> null stats
+    for h in range(12):
+        assert out[h].mean_prev is None and out[h].z is None
+        assert out[h].is_anomaly is False
+    # hour 12 sees exactly the 12 preceding counts 1..12
+    import statistics
+    counts = list(range(1, 13))
+    mean, std = statistics.mean(counts), statistics.stdev(counts)
+    assert out[12].mean_prev == round(mean, 6)
+    assert out[12].std_prev == round(std, 6)
+    assert out[12].z == round((100 - mean) / std, 6)
+    assert out[12].is_anomaly is True
+    # flat history -> std 0 -> null z, false flag (not a crash)
+    flat = spark.createDataFrame(
+        [(i, 1, "b", dt(2024, 1, 1, i // 2, i % 2)) for i in range(40)],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    fout = sorted(rolling_anomaly(flat, lookback=24, min_periods=12)
+                  .collect(), key=lambda r: r.hour)
+    last = fout[-1]
+    assert last.std_prev == 0.0 and last.z is None \
+        and last.is_anomaly is False

@@ -1272,3 +1272,70 @@ def test_chunk_documents_closed_form(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=5, overlap_tokens=5)
+
+
+def test_inverted_index_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog"), (3, "THE  cat"),
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r.word: (r.df, r.postings)
+           for r in inverted_index(docs, max_postings=2, min_df=1).collect()}
+    # case-folded, whitespace-split; empty/null docs contribute nothing
+    assert got["the"] == (3, "1,2")       # df counts ALL docs, cap keeps 2
+    assert got["cat"] == (2, "1,3")
+    assert got["dog"] == (1, "2")
+    assert got["sat"] == (1, "1")
+    # min_df prunes hapax rows; max_df prunes stopword rows
+    pruned = {r.word for r in
+              inverted_index(docs, max_postings=2, min_df=2).collect()}
+    assert pruned == {"the", "cat"}
+    capped = {r.word for r in
+              inverted_index(docs, max_postings=2, max_df=2).collect()}
+    assert "the" not in capped and "cat" in capped
+
+
+def test_inverted_index_cap_is_global_smallest_k(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        inverted_index,
+    )
+
+    # 300 docs all holding "w": the two-phase salted selection must
+    # return exactly the 5 smallest doc_ids regardless of salt layout
+    docs = spark.createDataFrame(
+        [(i, "w") for i in range(300)], "doc_id long, text string") \
+        .repartition(16)
+    [r] = inverted_index(docs, max_postings=5).collect()
+    assert (r.word, r.df, r.postings) == ("w", 300, "0,1,2,3,4")
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from legal_knowledge_graph_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    # two clean clusters on orthogonal axes, one query per cluster:
+    # neighbors of q0 are mostly label 0, of q10 mostly label 1
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.001 * i], 0))
+    for i in range(6):
+        rows.append((10 + i, [0.001 * i, 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = {r.query_id: (r.true_label, r.predicted_label, r.votes)
+           for r in knn_classify(emb, [0, 10], k=5).collect()}
+    assert got[0] == (0, 0, 5)
+    assert got[10] == (1, 1, 5)
+    # vote tie (k=2 straddling the clusters' boundary member) breaks to
+    # the SMALLEST label deterministically: build an exact 1-1 split
+    tie = spark.createDataFrame(
+        [(0, [1.0, 1.0], 9),
+         (1, [1.0, 0.9], 5), (2, [0.9, 1.0], 3)],
+        "vec_id long, embedding array<double>, label int")
+    [r] = knn_classify(tie, [0], k=2).collect()
+    assert (r.true_label, r.predicted_label, r.votes) == (9, 3, 1)
