@@ -374,6 +374,19 @@ def emb_knn_classify(spark, sf_dir):
                         _KNN_QUERY_IDS, k=10)
 
 
+def emb_project(spark, sf_dir):
+    """Johnson-Lindenstrauss 64->8 random projection
+    (similarity.project_embeddings): seeded md5-derived Gaussian matrix,
+    one codegen scan, zero shuffle; the oracle inlines the identical
+    matrix literals."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    return project_embeddings(_t(spark, sf_dir, "embeddings"),
+                              in_dim=64, out_dim=8, seed=0)
+
+
 def emb_knn_ivf(spark, sf_dir):
     """IVF ANN (similarity.knn_ivf): KMeans-cell blocked approximate top-k.
     KMeans is not SQL-expressible, so the oracle is the committed golden
@@ -919,6 +932,19 @@ def doc_inverted_index(spark, sf_dir):
                           max_postings=20, min_df=2)
 
 
+def events_kmv_users(spark, sf_dir):
+    """Distinct users per event type via the deterministic KMV sketch
+    (sketches.kmv_distinct, k=64) with the exact count attached — the
+    md5-derived hash makes the estimate engine-portable, so the oracle
+    reproduces it bit-exactly instead of tolerance-banding."""
+    from legal_knowledge_graph_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    return kmv_distinct(_t(spark, sf_dir, "events"),
+                        "event_type", "user_id", k=64, seed=0)
+
+
 def events_markov(spark, sf_dir):
     """First-order Markov next-event transition matrix
     (events_analytics.markov_transitions): per-user sequences ordered by
@@ -1354,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_keep": emb_dedup_keep,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_classify": emb_knn_classify,
+        "emb_project": emb_project,
         "emb_knn_lsh": emb_knn_lsh,
         "emb_knn_ivf": emb_knn_ivf,
         "multimodal_features": multimodal_features,
@@ -1393,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": events_retention,
         "events_markov": events_markov,
         "events_anomaly": events_anomaly,
+        "events_kmv_users": events_kmv_users,
         "doc_inverted_index": doc_inverted_index,
         "events_asof": events_asof,
         "events_error_aftermath": events_error_aftermath,
@@ -2034,6 +2062,23 @@ SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}""")
     return "".join(parts)
 
 
+def _jlproj_oracle(in_dim: int = 64, out_dim: int = 8, seed: int = 0) -> str:
+    """SQL restatement of similarity.project_embeddings with the seeded
+    projection matrix inlined as full-precision double literals — both
+    sides fold the dot product in array-index order."""
+    from legal_knowledge_graph_spark.operators.similarity import (
+        _projection_matrix,
+    )
+
+    R = _projection_matrix(in_dim, out_dim, seed)
+    dots = ",\n  ".join(
+        "round(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(v)) for v in R[i])
+        + f"]), 6) AS y{i}"
+        for i in range(out_dim))
+    return f"SELECT vec_id,\n  {dots}\nFROM embeddings"
+
+
 def _sssp_oracle(seeds: list, max_hops: int) -> str:
     """Fixed-unroll SQL restatement of graph_algos.sssp_weighted on the
     weighted symmetrized purchase graph (parallel edges min-collapsed
@@ -2573,6 +2618,7 @@ WITH RECURSIVE pairs AS (
 SELECT t AS vec_id, min(r) AS group_rep, t = min(r) AS keep
 FROM reach GROUP BY t""",
         "emb_cosine_topk": _TOPK_SQL,
+        "emb_project": _jlproj_oracle(in_dim=64, out_dim=8, seed=0),
         "emb_knn_classify": _COS_CTE + """
 , rk AS (
   SELECT query_id, neighbor_id,
@@ -2886,6 +2932,28 @@ WITH toks AS (
 SELECT f.word, f.df, p.postings
 FROM dfreq f JOIN posts p USING (word)
 WHERE f.df >= 2""",
+        "events_kmv_users": """
+WITH pairs AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events
+), hashes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(v || ':0'), 1, 8))::BIGINT AS h
+  FROM pairs
+), rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS r
+  FROM hashes
+), sk AS (
+  SELECT event_type, count(*) AS n_in, max(h) AS hk
+  FROM rk WHERE r <= 64 GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(*) AS n_distinct FROM pairs GROUP BY event_type
+)
+SELECT s.event_type,
+       round(CASE WHEN s.n_in < 64 THEN CAST(s.n_in AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / s.hk END, 6) AS est_distinct,
+       e.n_distinct
+FROM sk s JOIN ex e USING (event_type)""",
         "events_markov": """
 WITH seq AS (
   SELECT event_type AS from_type,

@@ -99,7 +99,7 @@ def main() -> None:
         # round-5 sixth-session additions: weighted shortest paths,
         # Markov next-event transitions, rolling z-score anomalies
         "graph_sssp", "events_markov", "events_anomaly",
-        "doc_inverted_index", "emb_knn_classify",
+        "doc_inverted_index", "emb_knn_classify", "emb_project",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -194,6 +194,7 @@ def markov_transitions(
     events: DataFrame, user_col: str = "user_id",
     type_col: str = "event_type", ts_col: str = "ts",
     tiebreak_col: str = "event_id", min_count: int = 1,
+    chunk_width_s: int | None = None,
 ) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: order each user's events by (ts, tiebreak), pair each
@@ -211,17 +212,55 @@ def markov_transitions(
     sequence window (lead() needs per-user order — inherent), then a
     map-side-combining groupBy on (from, to) whose cardinality is
     |types|^2, tiny by construction; the per-from denominator attaches
-    via a window over that tiny aggregate, not the raw stream."""
+    via a window over that tiny aggregate, not the raw stream.
+
+    Hot-key path (`chunk_width_s`): a bot "user" owning 10^8 events
+    would otherwise sort in ONE window task. With a chunk width set,
+    the sequence window runs per (user, time-chunk) — bounded tasks —
+    and cross-chunk transitions are stitched from per-chunk (first,
+    last) aggregates: chunk k's last event pairs with the next
+    non-empty chunk's first (exactly the consecutive pair the single
+    window would emit, because floor(ts/width) is monotone in ts and
+    ties share a chunk). The stitch table is one row per (user, chunk),
+    span/width-bounded, so its window is trivially small. Output is
+    row-identical to the single-window path (pytest-pinned)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
-    pairs = (
-        events.select(
-            F.col(type_col).alias("from_type"),
-            F.lead(type_col).over(w).alias("to_type"))
-        .where(F.col("to_type").isNotNull())
-    )
+    if chunk_width_s is not None:
+        chunk = F.floor(F.unix_timestamp(F.col(ts_col)) / chunk_width_s)
+        ev = events.select(
+            F.col(user_col).alias("_u"), F.col(type_col).alias("_t"),
+            F.col(ts_col).alias("_ts"), F.col(tiebreak_col).alias("_tb"),
+            chunk.alias("_ck"))
+        wc = Window.partitionBy("_u", "_ck").orderBy(
+            F.col("_ts").asc(), F.col("_tb").asc())
+        intra = (
+            ev.select(
+                F.col("_t").alias("from_type"),
+                F.lead("_t").over(wc).alias("to_type"))
+            .where(F.col("to_type").isNotNull())
+        )
+        key = F.struct(F.col("_ts"), F.col("_tb"))
+        ends = ev.groupBy("_u", "_ck").agg(
+            F.min_by("_t", key).alias("_first"),
+            F.max_by("_t", key).alias("_last"))
+        ws = Window.partitionBy("_u").orderBy(F.col("_ck").asc())
+        boundary = (
+            ends.select(
+                F.col("_last").alias("from_type"),
+                F.lead("_first").over(ws).alias("to_type"))
+            .where(F.col("to_type").isNotNull())
+        )
+        pairs = intra.unionByName(boundary)
+    else:
+        w = Window.partitionBy(user_col).orderBy(
+            F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        pairs = (
+            events.select(
+                F.col(type_col).alias("from_type"),
+                F.lead(type_col).over(w).alias("to_type"))
+            .where(F.col("to_type").isNotNull())
+        )
     counts = pairs.groupBy("from_type", "to_type") \
         .agg(F.count(F.lit(1)).alias("n"))
     wf = Window.partitionBy("from_type")

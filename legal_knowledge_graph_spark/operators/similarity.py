@@ -405,3 +405,45 @@ def knn_classify(
     return best.join(truth, "query_id").select(
         "query_id", "true_label",
         F.col("_nb_label").alias("predicted_label"), "votes")
+
+
+def _projection_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
+    """Deterministic Gaussian projection rows from a seeded hash (same
+    scheme as _hyperplanes): R ~ N(0, 1/out_dim), so E[|Rx|^2] = |x|^2
+    (Johnson-Lindenstrauss)."""
+    s = int.from_bytes(
+        hashlib.md5(f"jlproj:{seed}".encode()).digest()[:4], "big")
+    rng = np.random.RandomState(s)
+    return (rng.standard_normal((out_dim, in_dim))
+            / np.sqrt(out_dim)).astype(np.float64)
+
+
+def project_embeddings(
+    embeddings: DataFrame, in_dim: int, out_dim: int = 8, seed: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y = R x with a seeded
+    Gaussian R scaled by 1/sqrt(out_dim), shrinking fat embedding
+    columns to `out_dim` dims while approximately preserving pairwise
+    distances — the standard pre-shrink before ANN indexing or
+    clustering when the raw vectors dominate shuffle width. Output
+    (id, y0..y{out_dim-1}) rounded to 6 places.
+
+    The matrix derives from md5(seed), not RNG state, so any engine
+    (and the SQL oracle, which inlines R's literals) reproduces it
+    exactly.
+
+    Scale shape (100 TB): one narrow projection — each output dim is a
+    JVM-side zip_with/aggregate dot product against a literal array, so
+    the whole transform is a single whole-stage-codegen scan with zero
+    shuffle and zero Python."""
+    R = _projection_matrix(in_dim, out_dim, seed)
+    x = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for i in range(out_dim):
+        row = F.array(*[F.lit(float(v)) for v in R[i]])
+        dot = F.aggregate(
+            F.zip_with(x, row, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+        cols.append(F.round(dot, 6).alias(f"y{i}"))
+    return embeddings.select(*cols)

@@ -666,3 +666,30 @@ def test_rolling_anomaly_closed_form(spark):
     last = fout[-1]
     assert last.std_prev == 0.0 and last.z is None \
         and last.is_anomaly is False
+
+
+def test_markov_chunked_identical_to_single_window(spark):
+    from datetime import datetime as dt, timedelta
+
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        markov_transitions,
+    )
+
+    # 3 users x 40 events spanning several 1-hour chunks, with repeated
+    # timestamps (tie stitching) and events landing exactly ON chunk
+    # boundaries; chunked path must be row-identical to the plain window
+    base = dt(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(3):
+        for i in range(40):
+            ts = base + timedelta(minutes=7 * i + u, seconds=0)
+            if i % 11 == 0:
+                ts = ts.replace(minute=0, second=0)  # on-boundary + ties
+            rows.append((eid, u, "t%d" % (eid % 5), ts))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    plain = sorted(map(tuple, markov_transitions(ev).collect()))
+    chunked = sorted(map(tuple, markov_transitions(
+        ev, chunk_width_s=3600).collect()))
+    assert plain == chunked

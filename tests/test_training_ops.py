@@ -1339,3 +1339,54 @@ def test_knn_classify_majority_and_tiebreak(spark):
         "vec_id long, embedding array<double>, label int")
     [r] = knn_classify(tie, [0], k=2).collect()
     assert (r.true_label, r.predicted_label, r.votes) == (9, 3, 1)
+
+
+def test_project_embeddings_matches_numpy_and_preserves_norms(spark):
+    from legal_knowledge_graph_spark.operators.similarity import (
+        _projection_matrix, project_embeddings,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.standard_normal((40, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    out = project_embeddings(emb, in_dim=16, out_dim=4, seed=3) \
+        .orderBy("vec_id").collect()
+    R = _projection_matrix(16, 4, 3)
+    want = X @ R.T
+    got = np.array([[r.y0, r.y1, r.y2, r.y3] for r in out])
+    assert np.allclose(got, np.round(want, 6), atol=1e-9)
+    # JL sanity: mean squared norm is approximately preserved
+    assert abs(np.mean((X ** 2).sum(1)) - np.mean((want ** 2).sum(1))) \
+        < 0.35 * np.mean((X ** 2).sum(1))
+    # seed changes the matrix; same seed reproduces it exactly
+    assert not np.allclose(_projection_matrix(16, 4, 3),
+                           _projection_matrix(16, 4, 4))
+    assert np.array_equal(_projection_matrix(16, 4, 3), R)
+
+
+def test_kmv_distinct_small_exact_and_large_close(spark):
+    from legal_knowledge_graph_spark.operators.sketches import kmv_distinct
+
+    # small group (< k distinct): exact fallback, est == true count
+    rows = [("a", i % 10) for i in range(100)]
+    # large group: 5000 distinct values, k=64 sketch
+    rows += [("b", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = {r.grp: (r.est_distinct, r.n_distinct)
+           for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    assert got["a"] == (10.0, 10)
+    est_b, true_b = got["b"]
+    assert true_b == 5000
+    assert abs(est_b - 5000) / 5000 < 0.30  # k=64 -> ~1/sqrt(62) rel err
+    # determinism: layout must not change the estimate
+    got2 = {r.grp: r.est_distinct
+            for r in kmv_distinct(df.repartition(13), "grp", "val",
+                                  k=64).collect()}
+    assert got2["b"] == est_b
+    # duplicates never inflate the sketch
+    dup = df.unionByName(df)
+    got3 = {r.grp: (r.est_distinct, r.n_distinct)
+            for r in kmv_distinct(dup, "grp", "val", k=64).collect()}
+    assert got3 == got
