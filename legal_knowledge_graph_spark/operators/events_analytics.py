@@ -296,14 +296,32 @@ def rolling_anomaly(
     (type, hour) counts in ONE map-side-combining aggregate — the
     window runs over that tiny hourly table (|types| x |hours|), never
     the raw events; per-type frames shuffle only the aggregate."""
-    from pyspark.sql.window import Window
+    return score_hourly_counts(hourly_counts(events, type_col, ts_col),
+                               lookback, min_periods, z_threshold)
 
-    hourly = (
+
+def hourly_counts(
+    events: DataFrame, type_col: str = "event_type", ts_col: str = "ts",
+) -> DataFrame:
+    """(event_type, hour, n) — the one map-side-combining aggregate the
+    anomaly scorer (and its streaming ledger) runs on."""
+    return (
         events.groupBy(
             F.col(type_col).alias("event_type"),
             F.date_trunc("hour", F.col(ts_col)).alias("hour"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def score_hourly_counts(
+    hourly: DataFrame, lookback: int = 24, min_periods: int = 12,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """rolling_anomaly's scoring half over a prebuilt (event_type, hour,
+    n) table — shared verbatim by the batch operator and the streaming
+    refresh so stream == batch by construction."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("event_type").orderBy("hour") \
         .rowsBetween(-lookback, -1)
     n_prev = F.count(F.lit(1)).over(w)

@@ -19,3 +19,4 @@ from .sessions import run_sessionize, sessionize_batch, sessionized  # noqa: F40
 from .dedup_stream import (  # noqa: F401
     run_streaming_dedup, streaming_exact_dedup,
 )
+from .anomaly import read_anomalies, run_streaming_anomaly  # noqa: F401

@@ -693,3 +693,34 @@ def test_markov_chunked_identical_to_single_window(spark):
     chunked = sorted(map(tuple, markov_transitions(
         ev, chunk_width_s=3600).collect()))
     assert plain == chunked
+
+
+def test_streaming_anomaly_equals_batch_and_resumes(spark, tmp_path):
+    """foreachBatch hourly-ledger anomaly scorer drained with
+    AvailableNow equals rolling_anomaly() over the same rows; re-drain
+    with nothing new is a no-op (idempotent ledger)."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        rolling_anomaly,
+    )
+    from legal_knowledge_graph_spark.streaming.anomaly import (
+        read_anomalies, run_streaming_anomaly,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    landing = str(tmp_path / "an_landing")
+    # several files so multiple micro-batches exercise cross-batch hours
+    events.repartition(12).write.mode("overwrite").parquet(landing)
+    ledger = str(tmp_path / "an_ledger")
+    out = str(tmp_path / "an_out")
+    ckpt = str(tmp_path / "an_ckpt")
+    run_streaming_anomaly(spark, landing, ledger, out, ckpt,
+                          max_files_per_trigger=3)
+
+    streamed = sorted(map(tuple, read_anomalies(spark, out).collect()))
+    batch = sorted(map(tuple, rolling_anomaly(events).collect()))
+    assert streamed == batch and streamed
+    # exactly-once: a second drain with no new files changes nothing
+    run_streaming_anomaly(spark, landing, ledger, out, ckpt,
+                          max_files_per_trigger=3)
+    again = sorted(map(tuple, read_anomalies(spark, out).collect()))
+    assert again == streamed
