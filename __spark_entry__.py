@@ -945,6 +945,20 @@ def events_kmv_users(spark, sf_dir):
                         "event_type", "user_id", k=64, seed=0)
 
 
+def events_kmv_rolling(spark, sf_dir):
+    """Trailing-24h distinct users per hour from MERGED per-hour KMV
+    sketches (sketches.kmv_rolling_distinct): the rolling estimate
+    never re-touches raw events — only k-bounded sketch arrays merge in
+    the window. The oracle recomputes each window's k smallest hashes
+    from scratch; the sketch-merge property makes them identical."""
+    from legal_knowledge_graph_spark.operators.sketches import (
+        kmv_rolling_distinct,
+    )
+
+    return kmv_rolling_distinct(_t(spark, sf_dir, "events"),
+                                window_hours=24, k=64, seed=0)
+
+
 def events_markov(spark, sf_dir):
     """First-order Markov next-event transition matrix
     (events_analytics.markov_transitions): per-user sequences ordered by
@@ -1421,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": events_markov,
         "events_anomaly": events_anomaly,
         "events_kmv_users": events_kmv_users,
+        "events_kmv_rolling": events_kmv_rolling,
         "doc_inverted_index": doc_inverted_index,
         "events_asof": events_asof,
         "events_error_aftermath": events_error_aftermath,
@@ -2954,6 +2969,32 @@ SELECT s.event_type,
                   ELSE 63.0 * 4294967296.0 / s.hk END, 6) AS est_distinct,
        e.n_distinct
 FROM sk s JOIN ex e USING (event_type)""",
+        "events_kmv_rolling": """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hour,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
+           AS h
+  FROM events
+), hrs AS (
+  SELECT hour, row_number() OVER (ORDER BY hour) AS hr
+  FROM (SELECT DISTINCT hour FROM pairs)
+), dh AS (
+  SELECT DISTINCT a.hour AS hour, p.h
+  FROM hrs a
+  JOIN hrs b ON b.hr BETWEEN a.hr - 23 AND a.hr
+  JOIN pairs p ON p.hour = b.hour
+), rk AS (
+  SELECT hour, h,
+         row_number() OVER (PARTITION BY hour ORDER BY h ASC) AS r
+  FROM dh
+), sk AS (
+  SELECT hour, count(*) AS n_in, max(h) AS hk
+  FROM rk WHERE r <= 64 GROUP BY hour
+)
+SELECT hour,
+       round(CASE WHEN n_in < 64 THEN CAST(n_in AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / hk END, 6) AS est_distinct
+FROM sk""",
         "events_markov": """
 WITH seq AS (
   SELECT event_type AS from_type,

@@ -71,3 +71,57 @@ def kmv_distinct(
             F.count(F.lit(1)).alias("n_distinct"))
         out = out.join(ex, "grp")
     return out.withColumnRenamed("grp", group_col)
+
+
+def kmv_rolling_distinct(
+    events: DataFrame, group_ts_col: str = "ts",
+    value_col: str = "user_id", window_hours: int = 24, k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Rolling distinct-count estimates from MERGED per-hour KMV
+    sketches — the property that makes KMV the 100 TB shape: each hour
+    keeps only its k smallest hashes (a k-element array), and any time
+    window's sketch is the k smallest of the UNION of its hours'
+    sketches (the k smallest of a union are always among the parts' k
+    smallest), so the trailing-24h estimate never re-touches raw
+    events. Output (hour, est_distinct) for every observed hour, over
+    the trailing `window_hours` OBSERVED rows including the current.
+
+    Scale shape: raw events collapse to distinct (hour, hash) pairs
+    map-side; per-hour sketch arrays come from the same salted
+    two-phase smallest-k as kmv_distinct; the rolling merge is a window
+    over the tiny hours table using pure Catalyst array ops (flatten ->
+    array_distinct -> array_sort -> slice) on k-bounded arrays."""
+    from pyspark.sql.window import Window
+
+    n_salts = 64
+    hour = F.date_trunc("hour", F.col(group_ts_col)).alias("hour")
+    pairs = events.select(
+        hour, F.col(value_col).cast("string").alias("_v")) \
+        .dropDuplicates(["hour", "_v"]) \
+        .withColumn("_h", _hash32("_v", seed)) \
+        .select("hour", "_h").dropDuplicates(["hour", "_h"])
+    salted = pairs.withColumn(
+        "_salt", F.pmod(F.xxhash64("_h", F.lit(0x5EED)), F.lit(n_salts)))
+    w1 = Window.partitionBy("hour", "_salt").orderBy(F.col("_h").asc())
+    w2 = Window.partitionBy("hour").orderBy(F.col("_h").asc())
+    kept = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= k)
+    )
+    sketches = kept.groupBy("hour").agg(
+        F.array_sort(F.collect_list("_h")).alias("_sk"))
+    wr = Window.orderBy("hour").rowsBetween(-(window_hours - 1), 0)
+    merged = F.slice(
+        F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("_sk").over(wr)))), 1, k)
+    rolled = sketches.select(
+        "hour", merged.alias("_m"),
+        F.size(merged).alias("_n"))
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)))
+                / F.element_at("_m", k))
+    return rolled.select("hour", F.round(est, 6).alias("est_distinct"))

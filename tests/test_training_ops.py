@@ -1390,3 +1390,40 @@ def test_kmv_distinct_small_exact_and_large_close(spark):
     got3 = {r.grp: (r.est_distinct, r.n_distinct)
             for r in kmv_distinct(dup, "grp", "val", k=64).collect()}
     assert got3 == got
+
+
+def test_kmv_rolling_merge_equals_scratch_recompute(spark):
+    from datetime import datetime as dt, timedelta
+
+    from legal_knowledge_graph_spark.operators.sketches import (
+        kmv_distinct, kmv_rolling_distinct,
+    )
+
+    # 30 hours; hour h sees users from a sliding population so windows
+    # genuinely differ; k=16 << distinct per window
+    rows = []
+    for h in range(30):
+        for u in range(h * 40, h * 40 + 120):
+            rows.append((dt(2024, 1, 1) + timedelta(hours=h), u))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    rolled = {r.hour: r.est_distinct
+              for r in kmv_rolling_distinct(
+                  ev, window_hours=6, k=16).collect()}
+    assert len(rolled) == 30
+    # merge property: the rolled estimate for hour h equals a
+    # from-scratch KMV over the union of the trailing 6 observed hours
+    for h in (5, 17, 29):
+        lo = dt(2024, 1, 1) + timedelta(hours=h - 5)
+        hi = dt(2024, 1, 1) + timedelta(hours=h)
+        win = ev.where((F.col("ts") >= lo) & (F.col("ts") <= hi)) \
+            .withColumn("g", F.lit("w"))
+        [r] = kmv_distinct(win, "g", "user_id", k=16, exact=False).collect()
+        assert rolled[hi] == r.est_distinct
+    # accuracy sanity at k=64 on a 320-distinct window
+    rolled64 = {r.hour: r.est_distinct
+                for r in kmv_rolling_distinct(
+                    ev, window_hours=6, k=64).collect()}
+    true_h29 = len({u for (ts, u) in rows
+                    if ts >= dt(2024, 1, 1) + timedelta(hours=24)})
+    est = rolled64[dt(2024, 1, 1) + timedelta(hours=29)]
+    assert abs(est - true_h29) / true_h29 < 0.35
