@@ -945,6 +945,19 @@ def events_kmv_users(spark, sf_dir):
                         "event_type", "user_id", k=64, seed=0)
 
 
+def lineitem_zorder(spark, sf_dir):
+    """Z-order clustering key over (l_orderkey, l_partkey)
+    (layout.zorder_key, 16 bits per dim): the Morton interleave behind
+    multi-dimensional file pruning, as one foldable bit expression; the
+    range-partition + local-sort layout contract is pytest-pinned
+    (contiguous non-overlapping zkey ranges per partition)."""
+    from legal_knowledge_graph_spark.operators.layout import zorder_key
+
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber",
+        zorder_key(["l_orderkey", "l_partkey"], bits=16).alias("zkey"))
+
+
 def events_kmv_rolling(spark, sf_dir):
     """Trailing-24h distinct users per hour from MERGED per-hour KMV
     sketches (sketches.kmv_rolling_distinct): the rolling estimate
@@ -1436,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": events_anomaly,
         "events_kmv_users": events_kmv_users,
         "events_kmv_rolling": events_kmv_rolling,
+        "lineitem_zorder": lineitem_zorder,
         "doc_inverted_index": doc_inverted_index,
         "events_asof": events_asof,
         "events_error_aftermath": events_error_aftermath,
@@ -2077,6 +2091,20 @@ SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}""")
     return "".join(parts)
 
 
+def _zorder_oracle(bits: int = 16) -> str:
+    """SQL restatement of layout.zorder_key over (l_orderkey, l_partkey):
+    disjoint-bit terms summed (== the Spark side's bitwise OR)."""
+    mask = (1 << bits) - 1
+    terms = []
+    for j, col in enumerate(("l_orderkey", "l_partkey")):
+        for i in range(bits):
+            terms.append(
+                f"((({col} & {mask}) >> {i}) & 1) * {1 << (i * 2 + j)}")
+    return ("SELECT l_orderkey, l_partkey, l_linenumber,\n  CAST("
+            + "\n  + ".join(terms)
+            + " AS BIGINT) AS zkey\nFROM lineitem")
+
+
 def _jlproj_oracle(in_dim: int = 64, out_dim: int = 8, seed: int = 0) -> str:
     """SQL restatement of similarity.project_embeddings with the seeded
     projection matrix inlined as full-precision double literals — both
@@ -2634,6 +2662,7 @@ SELECT t AS vec_id, min(r) AS group_rep, t = min(r) AS keep
 FROM reach GROUP BY t""",
         "emb_cosine_topk": _TOPK_SQL,
         "emb_project": _jlproj_oracle(in_dim=64, out_dim=8, seed=0),
+        "lineitem_zorder": _zorder_oracle(bits=16),
         "emb_knn_classify": _COS_CTE + """
 , rk AS (
   SELECT query_id, neighbor_id,

@@ -100,7 +100,7 @@ def main() -> None:
         # Markov next-event transitions, rolling z-score anomalies
         "graph_sssp", "events_markov", "events_anomaly",
         "doc_inverted_index", "emb_knn_classify", "emb_project",
-        "events_kmv_users", "events_kmv_rolling",
+        "events_kmv_users", "events_kmv_rolling", "lineitem_zorder",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}
