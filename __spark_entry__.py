@@ -958,6 +958,20 @@ def lineitem_zorder(spark, sf_dir):
         zorder_key(["l_orderkey", "l_partkey"], bits=16).alias("zkey"))
 
 
+def part_fuzzy_names(spark, sf_dir):
+    """Levenshtein<=1 word variants in part names
+    (dedup.edit_distance_pairs): deletion-neighborhood blocking turns
+    the quadratic fuzzy self-join into a variant equi-join + exact
+    confirm; the oracle is the naive all-pairs filter."""
+    from legal_knowledge_graph_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    words = _t(spark, sf_dir, "part").select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+    return edit_distance_pairs(words)
+
+
 def events_kmv_rolling(spark, sf_dir):
     """Trailing-24h distinct users per hour from MERGED per-hour KMV
     sketches (sketches.kmv_rolling_distinct): the rolling estimate
@@ -1450,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_users": events_kmv_users,
         "events_kmv_rolling": events_kmv_rolling,
         "lineitem_zorder": lineitem_zorder,
+        "part_fuzzy_names": part_fuzzy_names,
         "doc_inverted_index": doc_inverted_index,
         "events_asof": events_asof,
         "events_error_aftermath": events_error_aftermath,
@@ -2663,6 +2678,16 @@ FROM reach GROUP BY t""",
         "emb_cosine_topk": _TOPK_SQL,
         "emb_project": _jlproj_oracle(in_dim=64, out_dim=8, seed=0),
         "lineitem_zorder": _zorder_oracle(bits=16),
+        "part_fuzzy_names": """
+WITH v AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+  ) WHERE word <> '' AND length(word) <= 40
+)
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(levenshtein(a.word, b.word) AS INT) AS dist
+FROM v a JOIN v b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) <= 1""",
         "emb_knn_classify": _COS_CTE + """
 , rk AS (
   SELECT query_id, neighbor_id,

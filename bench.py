@@ -101,6 +101,7 @@ def main() -> None:
         "graph_sssp", "events_markov", "events_anomaly",
         "doc_inverted_index", "emb_knn_classify", "emb_project",
         "events_kmv_users", "events_kmv_rolling", "lineitem_zorder",
+        "part_fuzzy_names",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

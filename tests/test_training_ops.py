@@ -1427,3 +1427,46 @@ def test_kmv_rolling_merge_equals_scratch_recompute(spark):
                     if ts >= dt(2024, 1, 1) + timedelta(hours=24)})
     est = rolled64[dt(2024, 1, 1) + timedelta(hours=29)]
     assert abs(est - true_h29) / true_h29 < 0.35
+
+
+def _lev1(a, b):
+    # distance <= 1 check (lengths differ by > 1 -> no)
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    s, t = (a, b) if la < lb else (b, a)
+    for i in range(len(t)):
+        if t[:i] + t[i + 1:] == s:
+            return True
+    return False
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    import random
+
+    from legal_knowledge_graph_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(11)
+    base = ["".join(rng.choice("abcd") for _ in range(rng.randint(2, 6)))
+            for _ in range(80)]
+    # plant guaranteed neighbors: deletions, substitutions, insertions
+    planted = [w[1:] for w in base[:10]] + \
+              ["x" + w[1:] for w in base[10:20]] + \
+              [w + "z" for w in base[20:30]]
+    vocab = sorted(set(base + planted) - {""})
+    df = spark.createDataFrame([(w,) for w in vocab], "word string")
+    got = {(r.word_a, r.word_b) for r in edit_distance_pairs(df).collect()}
+    want = {(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+            if _lev1(a, b)}
+    assert got == want and len(want) > 20
+    # blocked plan: equi-join on the variant, never a cartesian product
+    plan = edit_distance_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
