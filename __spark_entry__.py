@@ -972,6 +972,44 @@ def part_fuzzy_names(spark, sf_dir):
     return edit_distance_pairs(words)
 
 
+def doc_length_bins(spark, sf_dir):
+    """Equi-depth length histogram (profiling.equidepth_bins): exact
+    ntile over (n_chars, doc_id) — a total order, so deterministic —
+    with per-bin count/lo/hi/mean."""
+    from legal_knowledge_graph_spark.operators.profiling import (
+        equidepth_bins,
+    )
+
+    out = equidepth_bins(_t(spark, sf_dir, "documents"),
+                         "n_chars", n_bins=10, id_col="doc_id")
+    return out.select(F.col("bin").cast("int").alias("bin"),
+                      "n", "lo", "hi", "mean")
+
+
+def lineitem_corr(spark, sf_dir):
+    """Pairwise Pearson correlations (profiling.numeric_corr): one
+    aggregate row computes all pairs' moments, then unpivots."""
+    from legal_knowledge_graph_spark.operators.profiling import (
+        numeric_corr,
+    )
+
+    return numeric_corr(_t(spark, sf_dir, "lineitem"),
+                        ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def events_type_hour_mi(spark, sf_dir):
+    """Mutual information between event type and hour-of-day
+    (profiling.mutual_information): exact from the |X| x |Y| joint-count
+    table, with the normalized variant."""
+    from legal_knowledge_graph_spark.operators.profiling import (
+        mutual_information,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod"))
+    return mutual_information(ev, "event_type", "hod")
+
+
 def events_kmv_rolling(spark, sf_dir):
     """Trailing-24h distinct users per hour from MERGED per-hour KMV
     sketches (sketches.kmv_rolling_distinct): the rolling estimate
@@ -1465,6 +1503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_rolling": events_kmv_rolling,
         "lineitem_zorder": lineitem_zorder,
         "part_fuzzy_names": part_fuzzy_names,
+        "doc_length_bins": doc_length_bins,
+        "lineitem_corr": lineitem_corr,
+        "events_type_hour_mi": events_type_hour_mi,
         "doc_inverted_index": doc_inverted_index,
         "events_asof": events_asof,
         "events_error_aftermath": events_error_aftermath,
@@ -2678,6 +2719,43 @@ FROM reach GROUP BY t""",
         "emb_cosine_topk": _TOPK_SQL,
         "emb_project": _jlproj_oracle(in_dim=64, out_dim=8, seed=0),
         "lineitem_zorder": _zorder_oracle(bits=16),
+        "doc_length_bins": """
+WITH b AS (
+  SELECT n_chars AS v,
+         CAST(ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS INT)
+           AS bin
+  FROM documents
+)
+SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi,
+       round(avg(v), 6) AS mean
+FROM b GROUP BY bin""",
+        "lineitem_corr": """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       round(corr(l_extendedprice, l_discount), 6) FROM lineitem""",
+        "events_type_hour_mi": """
+WITH joint AS (
+  SELECT event_type AS x, CAST(hour(ts) AS INT) AS y, count(*) AS nxy
+  FROM events GROUP BY 1, 2
+), t AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint),
+mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY x),
+my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY y),
+hx AS (SELECT -sum((nx / n) * ln(nx / n)) AS v FROM mx, t),
+hy AS (SELECT -sum((ny / n) * ln(ny / n)) AS v FROM my, t),
+mi AS (
+  SELECT sum((nxy / n) * ln((nxy / n) / ((nx / n) * (ny / n)))) AS v
+  FROM joint JOIN mx USING (x) JOIN my USING (y), t
+)
+SELECT round(mi.v, 6) AS mi,
+       round(mi.v / least(hx.v, hy.v), 6) AS nmi,
+       (SELECT count(*) FROM mx) AS n_x,
+       (SELECT count(*) FROM my) AS n_y
+FROM mi, hx, hy""",
         "part_fuzzy_names": """
 WITH v AS (
   SELECT DISTINCT word FROM (

@@ -101,7 +101,8 @@ def main() -> None:
         "graph_sssp", "events_markov", "events_anomaly",
         "doc_inverted_index", "emb_knn_classify", "emb_project",
         "events_kmv_users", "events_kmv_rolling", "lineitem_zorder",
-        "part_fuzzy_names",
+        "part_fuzzy_names", "doc_length_bins", "lineitem_corr",
+        "events_type_hour_mi",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

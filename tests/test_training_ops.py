@@ -1470,3 +1470,60 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equidepth_bins_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.profiling import (
+        equidepth_bins,
+    )
+
+    # 25 rows into 10 bins: first 5 bins get 3 rows, last 5 get 2
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(25)], "doc_id long, v long")
+    out = {r.bin: (r.n, r.lo, r.hi) for r in
+           equidepth_bins(df, "v", n_bins=10).collect()}
+    assert [out[b][0] for b in range(1, 11)] == [3] * 5 + [2] * 5
+    assert out[1] == (3, 0, 20) and out[10] == (2, 230, 240)
+    # bins partition the ordered domain: ranges don't overlap
+    for b in range(1, 10):
+        assert out[b][2] < out[b + 1][1] or out[b][2] <= out[b + 1][1]
+
+
+def test_numeric_corr_matches_numpy(spark):
+    from legal_knowledge_graph_spark.operators.profiling import (
+        numeric_corr,
+    )
+
+    rng = np.random.RandomState(5)
+    x = rng.standard_normal(500)
+    y = 2 * x + rng.standard_normal(500) * 0.5
+    z = rng.standard_normal(500)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double")
+    got = {(r.col_a, r.col_b): r.corr
+           for r in numeric_corr(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert abs(got[("x", "y")] - np.corrcoef(x, y)[0, 1]) < 1e-6
+    assert abs(got[("x", "z")] - np.corrcoef(x, z)[0, 1]) < 1e-6
+
+
+def test_mutual_information_closed_form(spark):
+    import math
+
+    from legal_knowledge_graph_spark.operators.profiling import (
+        mutual_information,
+    )
+
+    # perfectly dependent: MI = H = ln(2), NMI = 1
+    dep = spark.createDataFrame(
+        [("a", 0)] * 50 + [("b", 1)] * 50, "x string, y int")
+    [r] = mutual_information(dep, "x", "y").collect()
+    assert abs(r.mi - math.log(2)) < 1e-6 and abs(r.nmi - 1.0) < 1e-6
+    assert (r.n_x, r.n_y) == (2, 2)
+    # independent uniform: MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "ab" for b in (0, 1) for _ in range(25)],
+        "x string, y int")
+    [r2] = mutual_information(ind, "x", "y").collect()
+    assert abs(r2.mi) < 1e-9 and abs(r2.nmi) < 1e-9
