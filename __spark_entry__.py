@@ -972,6 +972,19 @@ def part_fuzzy_names(spark, sf_dir):
     return edit_distance_pairs(words)
 
 
+def doc_textrank(spark, sf_dir):
+    """TextRank extractive summaries (text_analysis.textrank_chunks):
+    per-doc chunk graphs ranked by weighted PageRank in 10 corpus-wide
+    equi-joins, top-2 central chunks per doc; the oracle unrolls the
+    identical recurrence."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        textrank_chunks,
+    )
+
+    return textrank_chunks(_t(spark, sf_dir, "documents"),
+                           chunk_size=10, n_iter=10, top_k=2)
+
+
 def doc_length_bins(spark, sf_dir):
     """Equi-depth length histogram (profiling.equidepth_bins): exact
     ntile over (n_chars, doc_id) — a total order, so deterministic —
@@ -1504,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_zorder": lineitem_zorder,
         "part_fuzzy_names": part_fuzzy_names,
         "doc_length_bins": doc_length_bins,
+        "doc_textrank": doc_textrank,
         "lineitem_corr": lineitem_corr,
         "events_type_hour_mi": events_type_hour_mi,
         "doc_inverted_index": doc_inverted_index,
@@ -2147,6 +2161,84 @@ SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}""")
     return "".join(parts)
 
 
+def _textrank_oracle(
+    chunk_size: int = 10, n_iter: int = 10, damping: float = 0.85,
+    top_k: int = 2,
+) -> str:
+    """Fixed-unroll SQL restatement of text_analysis.textrank_chunks:
+    chunk segmentation with posexplode-compatible positions, the
+    distinct-word-overlap edge weights, and one weighted-PR CTE per
+    iteration (settled FP error stays far inside the 6-place round)."""
+    head = rf"""
+WITH wlist AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wl
+  FROM documents
+), toks AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, wl[i] AS w
+  FROM wlist, unnest(range(1, len(wl) + 1)) t(i)
+  WHERE wl[i] <> ''
+), sents AS MATERIALIZED (
+  SELECT doc_id, pos // {chunk_size} AS idx, count(*) AS n_tok,
+         string_agg(w, ' ' ORDER BY pos) AS chunk_text
+  FROM toks GROUP BY doc_id, pos // {chunk_size}
+), dw AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos // {chunk_size} AS idx, w FROM toks
+), cmn AS (
+  SELECT a.doc_id, a.idx AS i, b.idx AS j, count(*) AS c
+  FROM dw a JOIN dw b
+    ON a.doc_id = b.doc_id AND a.w = b.w AND a.idx < b.idx
+  GROUP BY a.doc_id, a.idx, b.idx
+), pairs AS (
+  SELECT c.doc_id, c.i, c.j,
+         c.c / greatest(ln(si.n_tok) + ln(sj.n_tok), 1e-9) AS wgt
+  FROM cmn c
+  JOIN sents si ON si.doc_id = c.doc_id AND si.idx = c.i
+  JOIN sents sj ON sj.doc_id = c.doc_id AND sj.idx = c.j
+), edges AS MATERIALIZED (
+  SELECT doc_id, i AS src, j AS dst, wgt FROM pairs
+  UNION ALL
+  SELECT doc_id, j AS src, i AS dst, wgt FROM pairs
+), strength AS (
+  SELECT doc_id, src, sum(wgt) AS s FROM edges GROUP BY doc_id, src
+), en AS MATERIALIZED (
+  SELECT e.doc_id, e.src, e.dst, e.wgt / st.s AS wn
+  FROM edges e
+  JOIN strength st ON st.doc_id = e.doc_id AND st.src = e.src
+), nd AS (SELECT doc_id, count(*) AS n_sents FROM sents GROUP BY doc_id),
+base AS MATERIALIZED (
+  SELECT s.doc_id, s.idx, nd.n_sents
+  FROM sents s JOIN nd USING (doc_id)
+), r0 AS MATERIALIZED (
+  SELECT doc_id, idx, 1.0 / n_sents AS r FROM base
+)"""
+    its = []
+    for t in range(1, n_iter + 1):
+        its.append(f""",
+r{t} AS MATERIALIZED (
+  SELECT b.doc_id, b.idx,
+         {1.0 - damping} / b.n_sents + {damping} * coalesce(x.acc, 0)
+           AS r
+  FROM base b LEFT JOIN (
+    SELECT e.doc_id, e.dst AS idx, sum(e.wn * r.r) AS acc
+    FROM en e JOIN r{t - 1} r ON r.doc_id = e.doc_id AND r.idx = e.src
+    GROUP BY e.doc_id, e.dst
+  ) x ON x.doc_id = b.doc_id AND x.idx = b.idx
+)""")
+    tail = f""",
+fin AS (
+  SELECT s.doc_id, s.idx, round(r.r, 6) AS score, s.chunk_text
+  FROM sents s
+  JOIN r{n_iter} r ON r.doc_id = s.doc_id AND r.idx = s.idx
+), rk AS (
+  SELECT doc_id, CAST(idx AS INT) AS idx, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, idx ASC) AS INT) AS rk, chunk_text
+  FROM fin
+)
+SELECT doc_id, idx, score, rk, chunk_text FROM rk WHERE rk <= {top_k}"""
+    return head + "".join(its) + tail
+
+
 def _zorder_oracle(bits: int = 16) -> str:
     """SQL restatement of layout.zorder_key over (l_orderkey, l_partkey):
     disjoint-bit terms summed (== the Spark side's bitwise OR)."""
@@ -2719,6 +2811,8 @@ FROM reach GROUP BY t""",
         "emb_cosine_topk": _TOPK_SQL,
         "emb_project": _jlproj_oracle(in_dim=64, out_dim=8, seed=0),
         "lineitem_zorder": _zorder_oracle(bits=16),
+        "doc_textrank": _textrank_oracle(chunk_size=10, n_iter=10,
+                                         damping=0.85, top_k=2),
         "doc_length_bins": """
 WITH b AS (
   SELECT n_chars AS v,

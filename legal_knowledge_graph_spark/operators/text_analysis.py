@@ -929,3 +929,101 @@ def inverted_index(
     if max_df is not None:
         out = out.where(F.col("df") <= max_df)
     return out.select("word", "df", "postings")
+
+
+def textrank_chunks(
+    docs: DataFrame, text_col: str = "text", chunk_size: int = 10,
+    n_iter: int = 10, damping: float = 0.85, top_k: int = 2,
+) -> DataFrame:
+    """TextRank extractive summarization [Mihalcea & Tarau 2004] over
+    fixed-size word chunks (the corpus has no sentence punctuation;
+    chunking is the segmentation contract, matching chunk_documents):
+    per document, chunks are graph nodes, edge weight =
+
+        |distinct-word overlap| / max(ln n_tok_i + ln n_tok_j, 1e-9)
+
+    and the per-document weighted PageRank
+
+        r(i) = (1-d)/n_doc + d * sum_j w_ji / S_j * r(j)
+
+    runs `n_iter` fixed iterations from r0 = 1/n_doc (S_j = out-
+    strength; isolated chunks settle at the teleport term). Output: the
+    `top_k` chunks per doc by (rounded score DESC, idx ASC) with their
+    reassembled text — "the most central passages of every document".
+
+    Every per-doc graph lives in ONE DataFrame keyed (doc_id, idx):
+    iterations are whole-corpus equi-joins co-partitioned on doc_id —
+    a million documents rank in the same 10 joins as ten (the pagerank
+    discipline applied per-key), with lineage cut per iteration. The
+    overlap join is intra-doc only (doc_id equi-join), bounded by
+    (words_per_doc / chunk_size)^2 pairs per doc."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_split_words(text_col)).alias("pos", "w")) \
+        .where(F.col("w") != "")
+    sents = toks.groupBy(
+        "doc_id", F.floor(F.col("pos") / chunk_size).alias("idx")) \
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.collect_set("w").alias("words"),
+             F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                 lambda s: s.w)).alias("chunk_text")) \
+        .localCheckpoint()
+    nd = sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sents"))
+    a = sents.select("doc_id", F.col("idx").alias("i"),
+                     F.col("n_tok").alias("ni"), F.col("words").alias("wi"))
+    b = sents.select("doc_id", F.col("idx").alias("j"),
+                     F.col("n_tok").alias("nj"), F.col("words").alias("wj"))
+    common = F.size(F.array_intersect("wi", "wj"))
+    pairs = (
+        a.join(b, "doc_id").where(F.col("i") < F.col("j"))
+        .where(common > 0)
+        .select("doc_id", "i", "j",
+                (common / F.greatest(F.log("ni") + F.log("nj"),
+                                     F.lit(1e-9))).alias("wgt"))
+    )
+    edges = pairs.select("doc_id", F.col("i").alias("src"),
+                         F.col("j").alias("dst"), "wgt") \
+        .unionByName(pairs.select(
+            "doc_id", F.col("j").alias("src"),
+            F.col("i").alias("dst"), "wgt"))
+    strength = edges.groupBy("doc_id", "src").agg(
+        F.sum("wgt").alias("_s"))
+    enorm = edges.join(strength, ["doc_id", "src"]) \
+        .select("doc_id", "src", "dst",
+                (F.col("wgt") / F.col("_s")).alias("wn")) \
+        .localCheckpoint()
+    base = sents.select("doc_id", "idx").join(nd, "doc_id")
+    ranks = base.select(
+        "doc_id", "idx", (F.lit(1.0) / F.col("n_sents")).alias("r")) \
+        .localCheckpoint()
+    tele = (F.lit(1.0 - damping) / F.col("n_sents"))
+    for _ in range(n_iter):
+        contrib = (
+            enorm.join(ranks.select("doc_id",
+                                    F.col("idx").alias("src"), "r"),
+                       ["doc_id", "src"])
+            .groupBy("doc_id", F.col("dst").alias("idx"))
+            .agg(F.sum(F.col("wn") * F.col("r")).alias("_in"))
+        )
+        ranks = (
+            base.join(contrib, ["doc_id", "idx"], "left")
+            .select("doc_id", "idx",
+                    (tele + F.lit(damping)
+                     * F.coalesce(F.col("_in"), F.lit(0.0))).alias("r"))
+            .localCheckpoint()
+        )
+    from pyspark.sql.window import Window
+
+    scored = sents.join(ranks, ["doc_id", "idx"]) \
+        .select("doc_id", "idx", F.round("r", 6).alias("score"),
+                "chunk_text")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("idx").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= top_k)
+        .select("doc_id", F.col("idx").cast("int").alias("idx"),
+                "score", "rk", "chunk_text")
+    )

@@ -1527,3 +1527,51 @@ def test_mutual_information_closed_form(spark):
         "x string, y int")
     [r2] = mutual_information(ind, "x", "y").collect()
     assert abs(r2.mi) < 1e-9 and abs(r2.nmi) < 1e-9
+
+
+def test_textrank_chunks_matches_numpy_reference(spark):
+    import math
+
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        textrank_chunks,
+    )
+
+    # one 30-word doc -> 3 chunks with engineered overlaps, plus a
+    # second doc whose two chunks share nothing (isolated nodes)
+    d1 = ("alpha beta gamma delta alpha beta gamma delta alpha beta "
+          "gamma delta epsilon zeta eta theta gamma delta iota kappa "
+          "mu nu xi omicron pi rho mu nu sigma tau")
+    d2 = ("one two three four five six seven eight nine ten "
+          "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+          "eighteen nineteen twenty")
+    docs = spark.createDataFrame([(1, d1), (2, d2)],
+                                 "doc_id long, text string")
+    out = textrank_chunks(docs, chunk_size=10, n_iter=10, top_k=3)
+    got = {(r.doc_id, r.idx): (r.score, r.rk, r.chunk_text)
+           for r in out.collect()}
+
+    # numpy reference of the identical recurrence for doc 1
+    chunks = [d1.split()[i:i + 10] for i in range(0, 30, 10)]
+    n = len(chunks)
+    W = [[0.0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                c = len(set(chunks[i]) & set(chunks[j]))
+                if c:
+                    W[i][j] = c / max(
+                        math.log(len(chunks[i])) + math.log(len(chunks[j])),
+                        1e-9)
+    r = [1.0 / n] * n
+    for _ in range(10):
+        s = [sum(W[j]) for j in range(n)]
+        r = [0.15 / n + 0.85 * sum(
+            W[j][i] / s[j] * r[j] for j in range(n) if s[j] > 0)
+            for i in range(n)]
+    for i in range(n):
+        assert abs(got[(1, i)][0] - round(r[i], 6)) <= 1e-6
+    # doc 2: no overlaps -> every chunk settles at the teleport value
+    assert got[(2, 0)][0] == round(0.15 / 2, 6)
+    assert got[(2, 1)][0] == round(0.15 / 2, 6)
+    # chunk text reassembles in position order
+    assert got[(1, 0)][2].startswith("alpha beta gamma delta")
