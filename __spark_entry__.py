@@ -1023,6 +1023,28 @@ def events_type_hour_mi(spark, sf_dir):
     return mutual_information(ev, "event_type", "hod")
 
 
+def events_ohlc(spark, sf_dir):
+    """Hourly OHLC bars (events_analytics.ohlc_bars): one map-side
+    aggregate; open/close ride min_by/max_by on the (ts, event_id)
+    total order — no window, no sort."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        ohlc_bars,
+    )
+
+    return ohlc_bars(_t(spark, sf_dir, "events"))
+
+
+def events_assoc(spark, sf_dir):
+    """Pairwise association rules over per-user distinct event types
+    (events_analytics.association_rules): support/confidence/lift from
+    the |types|^2 co-occurrence aggregate."""
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        association_rules,
+    )
+
+    return association_rules(_t(spark, sf_dir, "events"))
+
+
 def events_kmv_rolling(spark, sf_dir):
     """Trailing-24h distinct users per hour from MERGED per-hour KMV
     sketches (sketches.kmv_rolling_distinct): the rolling estimate
@@ -1514,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": events_anomaly,
         "events_kmv_users": events_kmv_users,
         "events_kmv_rolling": events_kmv_rolling,
+        "events_ohlc": events_ohlc,
+        "events_assoc": events_assoc,
         "lineitem_zorder": lineitem_zorder,
         "part_fuzzy_names": part_fuzzy_names,
         "doc_length_bins": doc_length_bins,
@@ -3195,6 +3219,36 @@ SELECT s.event_type,
                   ELSE 63.0 * 4294967296.0 / s.hk END, 6) AS est_distinct,
        e.n_distinct
 FROM sk s JOIN ex e USING (event_type)""",
+        "events_ohlc": """
+WITH rk AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS ra,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT event_type, bar_ts, count(*) AS n,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       round(sum(value), 4) AS sum_value
+FROM rk GROUP BY event_type, bar_ts""",
+        "events_assoc": """
+WITH p AS MATERIALIZED (
+  SELECT DISTINCT user_id AS b, event_type AS x FROM events
+), nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS v FROM p),
+s AS (SELECT x, count(*) AS nx FROM p GROUP BY x),
+co AS (
+  SELECT a.x, b2.x AS y, count(*) AS nxy
+  FROM p a JOIN p b2 ON a.b = b2.b AND a.x <> b2.x
+  GROUP BY a.x, b2.x
+)
+SELECT co.x AS antecedent, co.y AS consequent, nxy,
+       round(nxy / nb.v, 6) AS support,
+       round(CAST(nxy AS DOUBLE) / sx.nx, 6) AS confidence,
+       round((CAST(nxy AS DOUBLE) / sx.nx) / (sy.nx / nb.v), 6) AS lift
+FROM co JOIN s sx ON sx.x = co.x JOIN s sy ON sy.x = co.y, nb""",
         "events_kmv_rolling": """
 WITH pairs AS (
   SELECT DISTINCT date_trunc('hour', ts) AS hour,

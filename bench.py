@@ -102,7 +102,8 @@ def main() -> None:
         "doc_inverted_index", "emb_knn_classify", "emb_project",
         "events_kmv_users", "events_kmv_rolling", "lineitem_zorder",
         "part_fuzzy_names", "doc_length_bins", "lineitem_corr",
-        "events_type_hour_mi", "doc_textrank",
+        "events_type_hour_mi", "doc_textrank", "events_ohlc",
+        "events_assoc",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

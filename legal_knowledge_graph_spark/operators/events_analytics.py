@@ -338,3 +338,83 @@ def score_hourly_counts(
         F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def ohlc_bars(
+    events: DataFrame, type_col: str = "event_type", ts_col: str = "ts",
+    value_col: str = "value", tiebreak_col: str = "event_id",
+    bar: str = "hour",
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (type, bar) the
+    open/high/low/close of `value_col`, where open/close are the values
+    at the (ts, tiebreak)-min/max rows — a total order, so
+    deterministic under simultaneous timestamps. Output (event_type,
+    bar_ts, n, open, high, low, close, sum_value rounded).
+
+    Scale shape (100 TB tick stream): ONE map-side-combining aggregate;
+    min_by/max_by carry the open/close through partial aggregation, so
+    no window, no sort, no second scan."""
+    key = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(bar, F.col(ts_col)).alias("bar_ts"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min_by(F.col(value_col), key).alias("open"),
+             F.max(value_col).alias("high"),
+             F.min(value_col).alias("low"),
+             F.max_by(F.col(value_col), key).alias("close"),
+             F.round(F.sum(value_col), 4).alias("sum_value"))
+    )
+
+
+def association_rules(
+    events: DataFrame, basket_col: str = "user_id",
+    item_col: str = "event_type", min_support: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules over per-basket DISTINCT item sets
+    (market basket / "users who did X also did Y"):
+
+        support(x->y)    = n(x,y) / n_baskets
+        confidence(x->y) = n(x,y) / n(x)
+        lift(x->y)       = confidence / (n(y) / n_baskets)
+
+    Emitted for every ORDERED pair x != y with support >= min_support
+    (x->y and y->x share support but differ in confidence/lift).
+
+    Scale shape (10^9 baskets): baskets collapse to distinct (basket,
+    item) pairs map-side; the pair join is per-basket and bounded by
+    items-per-basket^2 (|item vocabulary| is the real-world bound —
+    event types, product categories); singles and the basket count
+    attach to the |items|^2 aggregate, never the raw stream."""
+    pairs_src = events.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("x")) \
+        .dropDuplicates(["b", "x"]) \
+        .localCheckpoint()
+    n_baskets_df = pairs_src.select("b").distinct() \
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    singles = pairs_src.groupBy("x").agg(F.count(F.lit(1)).alias("nx"))
+    co = (
+        pairs_src.join(
+            pairs_src.select(F.col("b"), F.col("x").alias("y")), "b")
+        .where(F.col("x") != F.col("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    out = (
+        co.join(F.broadcast(singles), "x")
+        .join(F.broadcast(
+            singles.select(F.col("x").alias("y"),
+                           F.col("nx").alias("ny"))), "y")
+        .crossJoin(F.broadcast(n_baskets_df))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            "nxy",
+            F.round(F.col("nxy") / F.col("_nb"), 6).alias("support"),
+            F.round(F.col("nxy") / F.col("nx"), 6).alias("confidence"),
+            F.round((F.col("nxy") / F.col("nx"))
+                    / (F.col("ny") / F.col("_nb")), 6).alias("lift"))
+    )
+    if min_support > 0:
+        out = out.where(F.col("support") >= min_support)
+    return out

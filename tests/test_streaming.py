@@ -724,3 +724,60 @@ def test_streaming_anomaly_equals_batch_and_resumes(spark, tmp_path):
                           max_files_per_trigger=3)
     again = sorted(map(tuple, read_anomalies(spark, out).collect()))
     assert again == streamed
+
+
+def test_ohlc_bars_deterministic_ties(spark):
+    from datetime import datetime as dt
+
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        ohlc_bars,
+    )
+
+    t = dt(2024, 1, 1, 9, 30)
+    rows = [
+        # identical timestamps: event_id breaks the open/close tie
+        (2, "a", t, 5.0), (1, "a", t, 3.0), (3, "a", t, 9.0),
+        (4, "a", dt(2024, 1, 1, 9, 45), 1.0),
+        (5, "b", dt(2024, 1, 1, 10, 5), 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double")
+    got = {(r.event_type, r.bar_ts.hour):
+           (r.n, r.open, r.high, r.low, r.close)
+           for r in ohlc_bars(ev).collect()}
+    assert got[("a", 9)] == (4, 3.0, 9.0, 1.0, 1.0)  # open=id1, close=id4
+    assert got[("b", 10)] == (1, 7.0, 7.0, 7.0, 7.0)
+
+
+def test_association_rules_closed_form(spark):
+    from datetime import datetime as dt
+
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        association_rules,
+    )
+
+    t = dt(2024, 1, 1)
+    # baskets: u1={a,b}, u2={a,b}, u3={a}, u4={b,c}; duplicates collapse
+    rows = [(1, "a"), (1, "b"), (1, "a"),
+            (2, "a"), (2, "b"),
+            (3, "a"),
+            (4, "b"), (4, "c")]
+    ev = spark.createDataFrame(
+        [(i, u, x, t) for i, (u, x) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp")
+    got = {(r.antecedent, r.consequent): (r.nxy, r.support, r.confidence,
+                                          r.lift)
+           for r in association_rules(ev).collect()}
+    # a->b: n=2, support 2/4, conf 2/3, lift (2/3)/(3/4)
+    assert got[("a", "b")] == (2, 0.5, round(2 / 3, 6),
+                               round((2 / 3) / (3 / 4), 6))
+    # b->a: same support, different confidence (2/3) and lift
+    assert got[("b", "a")] == (2, 0.5, round(2 / 3, 6),
+                               round((2 / 3) / (3 / 4), 6))
+    # c->b: conf 1.0, lift 1/(3/4)
+    assert got[("c", "b")] == (1, 0.25, 1.0, round(1 / (3 / 4), 6))
+    assert ("a", "c") not in got  # never co-occur
+    # min_support prunes
+    pruned = {(r.antecedent, r.consequent) for r in
+              association_rules(ev, min_support=0.4).collect()}
+    assert pruned == {("a", "b"), ("b", "a")}
