@@ -1023,6 +1023,44 @@ def events_type_hour_mi(spark, sf_dir):
     return mutual_information(ev, "event_type", "hod")
 
 
+DQ_LINEITEM_RULES = [
+    {"name": "qty_null", "kind": "null_rate", "col": "l_quantity"},
+    {"name": "qty_range", "kind": "range", "col": "l_quantity",
+     "lo": 1, "hi": 50},
+    {"name": "disc_range", "kind": "range", "col": "l_discount",
+     "lo": 0.0, "hi": 0.1},
+    {"name": "price_positive", "kind": "expression",
+     "expr": "l_extendedprice > 0"},
+    {"name": "flag_enum", "kind": "expression",
+     "expr": "l_returnflag IN ('A', 'N', 'R')"},
+]
+
+
+def dq_lineitem(spark, sf_dir):
+    """Declarative data-contract battery (quality_checks.check_rules):
+    five rules evaluated in ONE aggregate projection — null rate, two
+    range contracts, two boolean expressions (violations include NULL
+    results: contracts must hold provably)."""
+    from legal_knowledge_graph_spark.operators.quality_checks import (
+        check_rules,
+    )
+
+    return check_rules(_t(spark, sf_dir, "lineitem"), DQ_LINEITEM_RULES)
+
+
+def dq_lineitem_fk(spark, sf_dir):
+    """Referential-integrity probe
+    (quality_checks.referential_integrity): lineitem orphans vs orders,
+    one slim left-join aggregate."""
+    from legal_knowledge_graph_spark.operators.quality_checks import (
+        referential_integrity,
+    )
+
+    return referential_integrity(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        "l_orderkey", "o_orderkey")
+
+
 def events_ohlc(spark, sf_dir):
     """Hourly OHLC bars (events_analytics.ohlc_bars): one map-side
     aggregate; open/close ride min_by/max_by on the (ts, event_id)
@@ -1538,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_rolling": events_kmv_rolling,
         "events_ohlc": events_ohlc,
         "events_assoc": events_assoc,
+        "dq_lineitem": dq_lineitem,
+        "dq_lineitem_fk": dq_lineitem_fk,
         "lineitem_zorder": lineitem_zorder,
         "part_fuzzy_names": part_fuzzy_names,
         "doc_length_bins": doc_length_bins,
@@ -3219,6 +3259,38 @@ SELECT s.event_type,
                   ELSE 63.0 * 4294967296.0 / s.hk END, 6) AS est_distinct,
        e.n_distinct
 FROM sk s JOIN ex e USING (event_type)""",
+        "dq_lineitem": """
+WITH t AS (
+  SELECT count(*) AS n,
+    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_qty_null,
+    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                       OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_qty_range,
+    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                       OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_disc_range,
+    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+    CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_flag_enum
+  FROM lineitem
+)
+SELECT r.rule, r.v AS n_violations, t.n AS n_rows,
+       round(CAST(r.v AS DOUBLE) / greatest(t.n, 1), 6) AS violation_rate
+FROM t, LATERAL (VALUES
+  ('qty_null', v_qty_null), ('qty_range', v_qty_range),
+  ('disc_range', v_disc_range), ('price_positive', v_price_positive),
+  ('flag_enum', v_flag_enum)) AS r(rule, v)""",
+        "dq_lineitem_fk": """
+WITH keys AS (SELECT DISTINCT o_orderkey FROM orders)
+SELECT
+  CAST(sum(CASE WHEN k.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_orphans,
+  count(*) AS n_child_rows,
+  round(CAST(sum(CASE WHEN k.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / greatest(count(*), 1), 6) AS orphan_rate
+FROM lineitem l LEFT JOIN keys k ON k.o_orderkey = l.l_orderkey""",
         "events_ohlc": """
 WITH rk AS (
   SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,

@@ -103,7 +103,7 @@ def main() -> None:
         "events_kmv_users", "events_kmv_rolling", "lineitem_zorder",
         "part_fuzzy_names", "doc_length_bins", "lineitem_corr",
         "events_type_hour_mi", "doc_textrank", "events_ohlc",
-        "events_assoc",
+        "events_assoc", "dq_lineitem", "dq_lineitem_fk",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

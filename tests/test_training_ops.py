@@ -1575,3 +1575,35 @@ def test_textrank_chunks_matches_numpy_reference(spark):
     assert got[(2, 1)][0] == round(0.15 / 2, 6)
     # chunk text reassembles in position order
     assert got[(1, 0)][2].startswith("alpha beta gamma delta")
+
+
+def test_check_rules_and_referential_integrity(spark):
+    from legal_knowledge_graph_spark.operators.quality_checks import (
+        check_rules, referential_integrity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, None, "y"), (3, 200.0, None), (4, -5.0, "x")],
+        "id long, v double, s string")
+    rules = [
+        {"name": "v_null", "kind": "null_rate", "col": "v"},
+        {"name": "v_range", "kind": "range", "col": "v", "lo": 0, "hi": 100},
+        {"name": "s_enum", "kind": "expression", "expr": "s IN ('x', 'y')"},
+    ]
+    got = {r.rule: (r.n_violations, r.n_rows, r.violation_rate)
+           for r in check_rules(df, rules).collect()}
+    assert got["v_null"] == (1, 4, 0.25)
+    # range violations include the NULL (must hold provably) + 200 + -5
+    assert got["v_range"] == (3, 4, 0.75)
+    # expression: NULL s is a violation
+    assert got["s_enum"] == (1, 4, 0.25)
+    # the battery is ONE aggregate: a single scan in the plan
+    plan = check_rules(df, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.lower().count("scan existingrdd") <= 1
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "k long")
+    [r] = referential_integrity(child, parent, "k", "k").collect()
+    assert (r.n_orphans, r.n_child_rows, r.orphan_rate) == (2, 5, 0.4)
