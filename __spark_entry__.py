@@ -1036,6 +1036,45 @@ DQ_LINEITEM_RULES = [
 ]
 
 
+def orders_diff(spark, sf_dir):
+    """Change capture between two snapshot versions (diff.table_diff):
+    NEW is a deterministic mutation of orders (every 13th key dropped,
+    every 7th totalprice bumped), so added/removed/changed and the
+    per-row changed-column list are exactly checkable. One full-outer
+    equi-join, comparison as a projection."""
+    from legal_knowledge_graph_spark.operators.diff import table_diff
+
+    old = _t(spark, sf_dir, "orders")
+    new = (
+        old.where(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0,
+                   F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice")))
+    )
+    return table_diff(old, new, ["o_orderkey"],
+                      ["o_orderstatus", "o_totalprice", "o_orderdate"])
+
+
+def lineitem_rollup(spark, sf_dir):
+    """OLAP rollup: revenue by (returnflag, linestatus) with subtotal
+    and grand-total rows via ROLLUP — partial aggregates reuse across
+    grouping sets in one pass; grouping_id disambiguates NULL-marker
+    rows exactly as GROUPING() does in SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id("l_returnflag", "l_linestatus").cast("int")
+             .alias("gid"),
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "revenue")
+    )
+
+
 def dq_lineitem(spark, sf_dir):
     """Declarative data-contract battery (quality_checks.check_rules):
     five rules evaluated in ONE aggregate projection — null rate, two
@@ -1578,6 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_assoc": events_assoc,
         "dq_lineitem": dq_lineitem,
         "dq_lineitem_fk": dq_lineitem_fk,
+        "lineitem_rollup": lineitem_rollup,
+        "orders_diff": orders_diff,
         "lineitem_zorder": lineitem_zorder,
         "part_fuzzy_names": part_fuzzy_names,
         "doc_length_bins": doc_length_bins,
@@ -3259,6 +3300,41 @@ SELECT s.event_type,
                   ELSE 63.0 * 4294967296.0 / s.hk END, 6) AS est_distinct,
        e.n_distinct
 FROM sk s JOIN ex e USING (event_type)""",
+        "orders_diff": """
+WITH newv AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 13 <> 0
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_o,
+         n.o_orderkey IS NOT NULL AS in_n,
+         concat_ws(',',
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END,
+           CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                THEN 'o_orderdate' END) AS diffs
+  FROM orders o FULL OUTER JOIN newv n ON n.o_orderkey = o.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_o THEN 'added'
+            WHEN NOT in_n THEN 'removed'
+            WHEN diffs <> '' THEN 'changed' END AS change,
+       CASE WHEN in_o AND in_n AND diffs <> '' THEN diffs
+            ELSE '' END AS changed_cols
+FROM j WHERE (NOT in_o) OR (NOT in_n) OR diffs <> ''""",
+        "lineitem_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+         AS gid,
+       count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "dq_lineitem": """
 WITH t AS (
   SELECT count(*) AS n,

@@ -1607,3 +1607,28 @@ def test_check_rules_and_referential_integrity(spark):
         [(1,), (1,), (2,), (9,), (None,)], "k long")
     [r] = referential_integrity(child, parent, "k", "k").collect()
     assert (r.n_orphans, r.n_child_rows, r.orphan_rate) == (2, 5, 0.4)
+
+
+def test_table_diff_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged -> dropped
+         (2, "B", 21.0),          # changed: s and v
+         (3, "c", 30.0),          # changed: NULL -> value (null-safe)
+         (5, "e", 50.0)],         # added; key 4 removed
+        "k long, s string, v double")
+    got = {r.k: (r.change, r.changed_cols)
+           for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {2: ("changed", "s,v"),
+                   3: ("changed", "v"),
+                   4: ("removed", ""),
+                   5: ("added", "")}
+    assert 1 not in got
+    # compare_cols restricts which columns participate
+    got2 = {r.k: r.change
+            for r in table_diff(old, new, ["k"], ["s"]).collect()}
+    assert got2 == {2: "changed", 4: "removed", 5: "added"}
