@@ -1057,6 +1057,20 @@ def orders_diff(spark, sf_dir):
                       ["o_orderstatus", "o_totalprice", "o_orderdate"])
 
 
+def lineitem_quantiles(spark, sf_dir):
+    """Exact type-7 quantiles WITHOUT a global sort
+    (profiling.exact_quantiles): histogram narrowing + one bounded
+    bucket collect; the k-th smallest value of a multiset is
+    partitioning-independent, so the result is deterministic and the
+    oracle is quantile_cont."""
+    from legal_knowledge_graph_spark.operators.profiling import (
+        exact_quantiles,
+    )
+
+    return exact_quantiles(_t(spark, sf_dir, "lineitem"),
+                           "l_extendedprice", [0.25, 0.5, 0.75, 0.99])
+
+
 def lineitem_rollup(spark, sf_dir):
     """OLAP rollup: revenue by (returnflag, linestatus) with subtotal
     and grand-total rows via ROLLUP — partial aggregates reuse across
@@ -1619,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_lineitem_fk": dq_lineitem_fk,
         "lineitem_rollup": lineitem_rollup,
         "orders_diff": orders_diff,
+        "lineitem_quantiles": lineitem_quantiles,
         "lineitem_zorder": lineitem_zorder,
         "part_fuzzy_names": part_fuzzy_names,
         "doc_length_bins": doc_length_bins,
@@ -3300,6 +3315,15 @@ SELECT s.event_type,
                   ELSE 63.0 * 4294967296.0 / s.hk END, 6) AS est_distinct,
        e.n_distinct
 FROM sk s JOIN ex e USING (event_type)""",
+        "lineitem_quantiles": """
+SELECT 0.25 AS p, round(quantile_cont(l_extendedprice, 0.25), 6) AS value
+FROM lineitem
+UNION ALL
+SELECT 0.5, round(quantile_cont(l_extendedprice, 0.5), 6) FROM lineitem
+UNION ALL
+SELECT 0.75, round(quantile_cont(l_extendedprice, 0.75), 6) FROM lineitem
+UNION ALL
+SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 6) FROM lineitem""",
         "orders_diff": """
 WITH newv AS (
   SELECT o_orderkey, o_orderstatus,

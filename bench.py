@@ -39,10 +39,17 @@ def main() -> None:
     from legal_knowledge_graph_spark.session import build_session
     import __spark_entry__ as E
 
+    # default 2x cores: with exactly cores==partitions every iterative
+    # stage runs as ONE all-cores wave and its stragglers set the stage
+    # wall (measured 3x slower on textrank-shaped jobs, see
+    # BENCH/scaling.json text_scale note); 2x lets early finishers
+    # steal the tail. SPARK_GRAFT_SHUFFLE overrides for A/B.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE",
+                                 max(2 * int(cpus), 16)))
     spark = build_session(
         app_name="lkg-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(int(cpus), 16),
+        shuffle_partitions=shuffle,
     )
 
     # steady-state protocol, same as tools/bench_scaling.py ("python

@@ -103,3 +103,93 @@ def mutual_information(
         F.countDistinct("x").alias("n_x"),
         F.countDistinct("y").alias("n_y"))
     return out
+
+
+def exact_quantiles(
+    df: DataFrame, col: str, ps: list, n_buckets: int = 8192,
+    collect_cap: int = 2_000_000, max_depth: int = 8,
+) -> DataFrame:
+    """EXACT type-7 quantiles without a global sort — the 100 TB
+    selection shape: a histogram pass narrows each needed order
+    statistic to one bucket, recursing only while the candidate bucket
+    exceeds `collect_cap`, then ONE bounded collect of that bucket's
+    values yields the exact k-th elements. Typically 3-4 jobs total
+    (count+min/max, histogram, bucket collect) versus a full shuffle
+    sort; an all-duplicates bucket short-circuits (its min == max IS
+    the answer). Driver state is histogram counts (n_buckets rows) —
+    never data.
+
+    Deterministic by definition: the k-th smallest VALUE of a multiset
+    is partitioning-independent. Returns (p, value) with the same
+    interpolation DuckDB's quantile_cont applies:
+    x_lo + frac * (x_hi - x_lo), rounded to 6."""
+    import math
+
+    vals = df.select(F.col(col).cast("double").alias("v")) \
+        .where(F.col("v").isNotNull()).localCheckpoint()
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    n = stats.n
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [(float(p), None) for p in ps], "p double, value double")
+    needed = {}
+    for p in ps:
+        h = (n - 1) * float(p)
+        k0 = int(math.floor(h)) + 1
+        needed.setdefault(k0, None)
+        needed.setdefault(min(k0 + 1, n), None)
+
+    def kth(k: int, lo: float, hi: float, base: int, depth: int) -> float:
+        """Exact k-th smallest of the global multiset, where `base`
+        values are known to lie strictly below `lo` and all values in
+        scope lie in [lo, hi]."""
+        if lo == hi:
+            return lo
+        scope = vals.where((F.col("v") >= lo) & (F.col("v") <= hi))
+        n_scope_row = scope.agg(F.count(F.lit(1)).alias("c")).collect()[0]
+        if n_scope_row.c <= collect_cap or depth >= max_depth:
+            xs = sorted(r.v for r in scope.collect())
+            return xs[k - base - 1]
+        width = (hi - lo) / n_buckets
+        hist = (
+            scope.groupBy(
+                F.least(F.lit(n_buckets - 1),
+                        F.floor((F.col("v") - lo) / width)).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts = {int(r.b): r.c for r in hist}
+        cum = base
+        for b in range(n_buckets):
+            c = counts.get(b, 0)
+            if cum + c >= k:
+                # the bucket expression is monotone in v (IEEE subtract/
+                # divide by a positive constant, floor, clamp all
+                # preserve order), so bucket-b members form a contiguous
+                # value range: their min/max bounds the recursion and
+                # `cum` is EXACTLY the count below it — no arithmetic
+                # boundary (lo + b*width) ever re-enters, so FP bucket
+                # assignment cannot double-count or drop a rank
+                bucket_expr = F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((F.col("v") - lo) / width))
+                bounds = scope.where(bucket_expr == b).agg(
+                    F.min("v").alias("l"), F.max("v").alias("h")) \
+                    .collect()[0]
+                return kth(k, bounds.l, bounds.h, cum, depth + 1)
+            cum += c
+        raise AssertionError("k beyond scope")  # unreachable
+
+    for k in needed:
+        needed[k] = kth(k, stats.lo, stats.hi, 0, 0)
+    rows = []
+    for p in ps:
+        h = (n - 1) * float(p)
+        k0 = int(math.floor(h)) + 1
+        frac = h - math.floor(h)
+        x0 = needed[k0]
+        x1 = needed[min(k0 + 1, n)]
+        rows.append((float(p), round(x0 + frac * (x1 - x0), 6)))
+    return df.sparkSession.createDataFrame(rows, "p double, value double")

@@ -1632,3 +1632,28 @@ def test_table_diff_closed_form(spark):
     got2 = {r.k: r.change
             for r in table_diff(old, new, ["k"], ["s"]).collect()}
     assert got2 == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_exact_quantiles_matches_numpy_via_histogram_path(spark):
+    from legal_knowledge_graph_spark.operators.profiling import (
+        exact_quantiles,
+    )
+
+    rng = np.random.RandomState(3)
+    xs = np.round(rng.lognormal(4, 1, 5000), 2)
+    df = spark.createDataFrame([(float(v),) for v in xs], "v double")
+    ps = [0.1, 0.5, 0.9, 0.99]
+    # collect_cap far below n forces the histogram-narrowing recursion
+    got = {r.p: r.value for r in exact_quantiles(
+        df, "v", ps, n_buckets=64, collect_cap=200).collect()}
+    want = np.quantile(xs, ps)  # numpy default = type-7 interpolation
+    for p, w in zip(ps, want):
+        assert abs(got[p] - round(float(w), 6)) <= 1e-6
+    # duplicate-heavy distribution (all-dup buckets short-circuit)
+    dup = spark.createDataFrame(
+        [(float(v),) for v in [1.0] * 3000 + [2.0] * 1000], "v double")
+    got2 = {r.p: r.value for r in exact_quantiles(
+        dup, "v", [0.5, 0.9], n_buckets=8, collect_cap=100).collect()}
+    assert got2[0.5] == 1.0
+    assert got2[0.9] == round(float(np.quantile(
+        [1.0] * 3000 + [2.0] * 1000, 0.9)), 6)
