@@ -1057,6 +1057,19 @@ def orders_diff(spark, sf_dir):
                       ["o_orderstatus", "o_totalprice", "o_orderdate"])
 
 
+def events_key_skew(spark, sf_dir):
+    """Shuffle-skew diagnosis of user_id as a join/agg key
+    (profiling.key_skew_profile): max/top-5 key shares, coefficient of
+    variation, normalized key entropy — all order-free; heavy keys via
+    TakeOrderedAndProject, never a global histogram sort."""
+    from legal_knowledge_graph_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(_t(spark, sf_dir, "events"),
+                            ["user_id"], top_k=5)
+
+
 def lineitem_quantiles(spark, sf_dir):
     """Exact type-7 quantiles WITHOUT a global sort
     (profiling.exact_quantiles): histogram narrowing + one bounded
@@ -1634,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": lineitem_rollup,
         "orders_diff": orders_diff,
         "lineitem_quantiles": lineitem_quantiles,
+        "events_key_skew": events_key_skew,
         "lineitem_zorder": lineitem_zorder,
         "part_fuzzy_names": part_fuzzy_names,
         "doc_length_bins": doc_length_bins,
@@ -3315,6 +3329,22 @@ SELECT s.event_type,
                   ELSE 63.0 * 4294967296.0 / s.hk END, 6) AS est_distinct,
        e.n_distinct
 FROM sk s JOIN ex e USING (event_type)""",
+        "events_key_skew": """
+WITH c AS MATERIALIZED (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t, count(*) AS nk FROM c),
+tk AS (
+  SELECT sum(c) AS v FROM (
+    SELECT c FROM c ORDER BY c DESC, user_id ASC LIMIT 5)
+)
+SELECT tot.nk AS n_keys, CAST(tot.t AS BIGINT) AS n_rows,
+       round((SELECT max(c) FROM c) / tot.t, 6) AS max_share,
+       round(tk.v / tot.t, 6) AS topk_share,
+       round((SELECT stddev_samp(c) FROM c) / (SELECT avg(c) FROM c), 6)
+         AS cv,
+       round((SELECT -sum((c / tot.t) * ln(c / tot.t)) FROM c)
+             / ln(tot.nk), 6) AS evenness
+FROM tot, tk""",
         "lineitem_quantiles": """
 SELECT 0.25 AS p, round(quantile_cont(l_extendedprice, 0.25), 6) AS value
 FROM lineitem

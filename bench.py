@@ -111,7 +111,8 @@ def main() -> None:
         "part_fuzzy_names", "doc_length_bins", "lineitem_corr",
         "events_type_hour_mi", "doc_textrank", "events_ohlc",
         "events_assoc", "dq_lineitem", "dq_lineitem_fk",
-        "lineitem_rollup", "orders_diff",
+        "lineitem_rollup", "orders_diff", "lineitem_quantiles",
+        "events_key_skew",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -193,3 +193,44 @@ def exact_quantiles(
         x1 = needed[min(k0 + 1, n)]
         rows.append((float(p), round(x0 + frac * (x1 - x0), 6)))
     return df.sparkSession.createDataFrame(rows, "p double, value double")
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list, top_k: int = 5,
+) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/agg key: one row
+
+        (n_keys, n_rows, max_share, top{k}_share, cv, evenness)
+
+    where max_share / top-k share = fraction of all rows owned by the
+    heaviest key(s) (the direct predictor of a straggler task),
+    cv = stddev/mean of per-key counts, and evenness = normalized key
+    entropy H/ln(n_keys) in (0, 1] (1 = perfectly uniform). All exact,
+    all order-free — skew metrics that need a GLOBAL sort of the key
+    histogram (gini) are deliberately excluded: at 10^9 keys that sort
+    is itself the skewed job. Top-k heavy keys resolve via
+    TakeOrderedAndProject (per-partition top-k, deterministic
+    (count DESC, key ASC) tiebreak), never a full ordering.
+
+    This is the diagnostic behind the engine's salting/AQE choices
+    (e.g. canonicalize's salted aggregation): run it BEFORE keying a
+    100 TB shuffle on a candidate column."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(
+        *[F.col(c) for c in key_cols]).agg(F.count(F.lit(1)).alias("c")) \
+        .localCheckpoint()
+    topk = counts.orderBy(
+        F.col("c").desc(), *[F.col(c).asc() for c in key_cols]) \
+        .limit(top_k).agg(F.sum("c").alias("tk")).collect()[0].tk
+    total = F.sum("c").over(Window.partitionBy())
+    withp = counts.select("c", (F.col("c") / total).alias("p"))
+    return withp.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("max_share"),
+        F.round(F.lit(int(topk)) / F.sum("c"), 6).alias("topk_share"),
+        F.round(F.stddev_samp("c") / F.avg("c"), 6).alias("cv"),
+        F.round((-F.sum(F.col("p") * F.log("p")))
+                / F.log(F.count(F.lit(1)).cast("double")), 6)
+        .alias("evenness"))

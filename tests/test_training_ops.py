@@ -1657,3 +1657,30 @@ def test_exact_quantiles_matches_numpy_via_histogram_path(spark):
     assert got2[0.5] == 1.0
     assert got2[0.9] == round(float(np.quantile(
         [1.0] * 3000 + [2.0] * 1000, 0.9)), 6)
+
+
+def test_key_skew_profile_closed_form(spark):
+    import math
+
+    from legal_knowledge_graph_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    # key "hot" owns 60 of 100 rows; 40 keys own 1 each
+    rows = [("hot",)] * 60 + [(f"k{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string")
+    [r] = key_skew_profile(df, ["k"], top_k=3).collect()
+    assert (r.n_keys, r.n_rows) == (41, 100)
+    assert r.max_share == 0.6
+    assert r.topk_share == round(62 / 100, 6)   # hot + 2 singletons
+    counts = [60] + [1] * 40
+    mean = sum(counts) / 41
+    var = sum((c - mean) ** 2 for c in counts) / 40  # sample variance
+    assert r.cv == round(math.sqrt(var) / mean, 6)
+    h = -sum((c / 100) * math.log(c / 100) for c in counts)
+    assert r.evenness == round(h / math.log(41), 6)
+    # uniform keys -> evenness 1.0, max_share = 1/n
+    uni = spark.createDataFrame([(f"k{i % 10}",) for i in range(100)],
+                                "k string")
+    [u] = key_skew_profile(uni, ["k"]).collect()
+    assert u.evenness == 1.0 and u.max_share == 0.1 and u.cv == 0.0
