@@ -985,6 +985,18 @@ def doc_textrank(spark, sf_dir):
                            chunk_size=10, n_iter=10, top_k=2)
 
 
+def doc_rake(spark, sf_dir):
+    """RAKE keyphrases (text_analysis.rake_keyphrases): stopword-cut
+    candidate runs, per-doc deg/freq word scores, top-3 phrases per doc
+    with deterministic (score, phrase) ordering."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        rake_keyphrases,
+    )
+
+    return rake_keyphrases(_t(spark, sf_dir, "documents"),
+                           top_k=3, max_phrase_len=4)
+
+
 def doc_length_bins(spark, sf_dir):
     """Equi-depth length histogram (profiling.equidepth_bins): exact
     ntile over (n_chars, doc_id) — a total order, so deterministic —
@@ -1652,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_fuzzy_names": part_fuzzy_names,
         "doc_length_bins": doc_length_bins,
         "doc_textrank": doc_textrank,
+        "doc_rake": doc_rake,
         "lineitem_corr": lineitem_corr,
         "events_type_hour_mi": events_type_hour_mi,
         "doc_inverted_index": doc_inverted_index,
@@ -2293,6 +2306,58 @@ d{i} AS MATERIALIZED (
     parts.append(f"""
 SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}""")
     return "".join(parts)
+
+
+def _rake_oracle(top_k: int = 3, max_phrase_len: int = 4) -> str:
+    """SQL restatement of text_analysis.rake_keyphrases: cumulative-sum
+    phrase segmentation (pos is unique per doc, so the default RANGE
+    frame equals ROWS on both engines), per-doc deg/freq word stats,
+    summed phrase scores."""
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        EN_STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+WITH wlist AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wl
+  FROM documents
+), toks AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, wl[i] AS w
+  FROM wlist, unnest(range(1, len(wl) + 1)) t(i)
+  WHERE wl[i] <> ''
+), marked AS MATERIALIZED (
+  SELECT doc_id, pos, w,
+         sum(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM toks
+), nw AS MATERIALIZED (
+  SELECT doc_id, pos, w, pid FROM marked WHERE w NOT IN ({stops})
+), phrases AS MATERIALIZED (
+  SELECT doc_id, pid, count(*) AS plen,
+         string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM nw GROUP BY doc_id, pid
+  HAVING count(*) <= {max_phrase_len}
+), pw AS (
+  SELECT n.doc_id, n.pid, n.w, p.plen
+  FROM nw n JOIN phrases p ON p.doc_id = n.doc_id AND p.pid = n.pid
+), wstats AS (
+  SELECT doc_id, w, sum(plen) AS deg, count(*) AS freq
+  FROM pw GROUP BY doc_id, w
+), scored AS (
+  SELECT pw.doc_id, pw.pid, sum(CAST(ws.deg AS DOUBLE) / ws.freq) AS s
+  FROM pw JOIN wstats ws ON ws.doc_id = pw.doc_id AND ws.w = pw.w
+  GROUP BY pw.doc_id, pw.pid
+), fin AS (
+  SELECT s.doc_id, p.phrase, round(s.s, 6) AS score
+  FROM scored s JOIN phrases p ON p.doc_id = s.doc_id AND p.pid = s.pid
+), rk AS (
+  SELECT doc_id, phrase, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, phrase ASC) AS INT) AS rk
+  FROM fin
+)
+SELECT doc_id, phrase, score, rk FROM rk WHERE rk <= {top_k}"""
 
 
 def _textrank_oracle(
@@ -2947,6 +3012,7 @@ FROM reach GROUP BY t""",
         "lineitem_zorder": _zorder_oracle(bits=16),
         "doc_textrank": _textrank_oracle(chunk_size=10, n_iter=10,
                                          damping=0.85, top_k=2),
+        "doc_rake": _rake_oracle(top_k=3, max_phrase_len=4),
         "doc_length_bins": """
 WITH b AS (
   SELECT n_chars AS v,

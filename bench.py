@@ -112,7 +112,7 @@ def main() -> None:
         "events_type_hour_mi", "doc_textrank", "events_ohlc",
         "events_assoc", "dq_lineitem", "dq_lineitem_fk",
         "lineitem_rollup", "orders_diff", "lineitem_quantiles",
-        "events_key_skew",
+        "events_key_skew", "doc_rake",
     ]
     qfns = E.queries()
     timings: dict[str, float] = {}

@@ -1027,3 +1027,63 @@ def textrank_chunks(
         .select("doc_id", F.col("idx").cast("int").alias("idx"),
                 "score", "rk", "chunk_text")
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame, text_col: str = "text", top_k: int = 3,
+    max_phrase_len: int = 4, stopwords: list | None = None,
+) -> DataFrame:
+    """RAKE keyphrase extraction [Rose et al. 2010]: candidate phrases
+    are maximal stopword-free token runs (cut at every stopword), word
+    scores are deg(w)/freq(w) within the document — deg(w) = total
+    length of candidate phrases containing w, freq(w) = occurrences in
+    candidates — and a phrase scores the sum of its words' scores (so
+    longer co-occurring phrases outrank their fragments). Output: the
+    `top_k` phrases per doc by (rounded score DESC, phrase ASC), with
+    runs longer than `max_phrase_len` discarded (standard RAKE guard:
+    unbroken runs in stopword-poor text are not phrases).
+
+    Scale shape: phrase segmentation is one per-doc cumulative-sum
+    window over the token stream (the ONE inherent doc-ordered pass,
+    same key as every per-doc op here); word stats and phrase scores
+    are map-side-combining aggregates + an equi-join on (doc, word) —
+    all bounded by tokens-per-doc, nothing corpus-global."""
+    from pyspark.sql.window import Window
+
+    stops = stopwords if stopwords is not None else EN_STOPWORDS
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_split_words(text_col)).alias("pos", "w")) \
+        .where(F.col("w") != "")
+    is_stop = F.col("w").isin(stops)
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn(
+        "pid", F.sum(F.when(is_stop, 1).otherwise(0)).over(wseq)) \
+        .where(~is_stop)
+    phrases = (
+        marked.groupBy("doc_id", "pid")
+        .agg(F.count(F.lit(1)).alias("plen"),
+             F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                 lambda s: s.w)).alias("phrase"))
+        .where(F.col("plen") <= max_phrase_len)
+        .localCheckpoint()
+    )
+    pw = marked.join(phrases.select("doc_id", "pid", "plen"),
+                     ["doc_id", "pid"])
+    wstats = pw.groupBy("doc_id", "w").agg(
+        F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq"))
+    scored = (
+        pw.join(wstats, ["doc_id", "w"])
+        .groupBy("doc_id", "pid")
+        .agg(F.sum(F.col("deg") / F.col("freq")).alias("s"))
+        .join(phrases, ["doc_id", "pid"])
+        .select("doc_id", "phrase", F.round("s", 6).alias("score"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rk") <= top_k)
+        .select("doc_id", "phrase", "score", "rk")
+    )

@@ -1684,3 +1684,30 @@ def test_key_skew_profile_closed_form(spark):
                                 "k string")
     [u] = key_skew_profile(uni, ["k"]).collect()
     assert u.evenness == 1.0 and u.max_share == 0.1 and u.cv == 0.0
+
+
+def test_rake_keyphrases_closed_form(spark):
+    from legal_knowledge_graph_spark.operators.text_analysis import (
+        rake_keyphrases,
+    )
+
+    # "the" and "a" are stopwords; doc 1 has runs:
+    #   [deep learning], [deep learning systems], [fast]
+    text = "the deep learning a deep learning systems a fast"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.phrase: (r.score, r.rk)
+           for r in rake_keyphrases(docs, top_k=5).collect()}
+    # freq: deep 2, learning 2, systems 1, fast 1
+    # deg:  deep 2+3=5, learning 5, systems 3, fast 1
+    s_dl = 5 / 2 + 5 / 2
+    s_dls = 5 / 2 + 5 / 2 + 3 / 1
+    assert got["deep learning systems"] == (round(s_dls, 6), 1)
+    assert got["deep learning"] == (round(s_dl, 6), 2)
+    assert got["fast"] == (round(1 / 1, 6), 3)
+    # a run longer than max_phrase_len is discarded entirely
+    longdoc = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon the zeta")],
+        "doc_id long, text string")
+    got2 = {r.phrase for r in
+            rake_keyphrases(longdoc, top_k=5, max_phrase_len=4).collect()}
+    assert got2 == {"zeta"}
