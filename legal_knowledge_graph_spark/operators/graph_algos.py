@@ -631,7 +631,14 @@ def sssp_weighted(
     tighten, so an unchanged (count, sum) pair proves the fixpoint
     (sum of integral dists is exact in double well past 2^50), and
     settled rounds are identity — output stays identical to the
-    oracle's fixed unroll."""
+    oracle's fixed unroll.
+
+    The (count, sum) proof needs INTEGRAL weights — with fractional
+    weights a below-ulp tightening could leave the FP sum bit-equal
+    before the true fixpoint — so integrality is detected from an
+    observe() riding the edge-collapse checkpoint (no extra job) and
+    non-integral graphs simply run all `max_hops` rounds, which is the
+    oracle's fixed-unroll semantics anyway."""
     from pyspark.sql import Observation
 
     half = edges.select(
@@ -639,9 +646,14 @@ def sssp_weighted(
         F.col(weight).cast("double").alias("w"))
     e = half if directed else half.unionByName(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    obs_e = Observation()
     e = e.where(F.col("u") != F.col("v")) \
         .groupBy("u", "v").agg(F.min("w").alias("w")) \
+        .observe(obs_e,
+                 F.sum(F.when(F.col("w") != F.floor("w"), 1).otherwise(0))
+                 .alias("frac")) \
         .localCheckpoint()
+    integral_weights = (obs_e.get["frac"] or 0) == 0
     spark = edges.sparkSession
     uniq_seeds = sorted(set(seeds))
     seed_df = spark.createDataFrame(
@@ -664,7 +676,7 @@ def sssp_weighted(
         )
         got = obs.get
         now = (got["n"], got["s"])
-        if now == prev:
+        if integral_weights and now == prev:
             break
         prev = now
     return dist

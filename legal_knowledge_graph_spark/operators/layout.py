@@ -23,6 +23,12 @@ def zorder_key(cols: list, bits: int = 16) -> Column:
     lands at output bit i*n_cols, bit i of col 1 at i*n_cols + 1, ...
     Pure arithmetic — foldable, codegen-friendly, deterministic."""
     n = len(cols)
+    if n * bits > 63:
+        # shift n*bits-1 would reach the long sign bit (negative keys
+        # sort FIRST, silently breaking the curve) or wrap mod 64
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} key bits "
+            "> 63 (long sign bit); lower `bits` or drop columns")
     mask = (1 << bits) - 1
     out = F.lit(0).cast("long")
     for j, c in enumerate(cols):

@@ -120,13 +120,15 @@ def exact_quantiles(
     never data.
 
     Deterministic by definition: the k-th smallest VALUE of a multiset
-    is partitioning-independent. Returns (p, value) with the same
+    is partitioning-independent. NULL and NaN rows are excluded up
+    front (Spark's max() would rank NaN above everything and poison
+    the bucket arithmetic). Returns (p, value) with the same
     interpolation DuckDB's quantile_cont applies:
     x_lo + frac * (x_hi - x_lo), rounded to 6."""
     import math
 
     vals = df.select(F.col(col).cast("double").alias("v")) \
-        .where(F.col("v").isNotNull()).localCheckpoint()
+        .where(F.col("v").isNotNull() & ~F.isnan("v")).localCheckpoint()
     stats = vals.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
@@ -223,13 +225,14 @@ def key_skew_profile(
     topk = counts.orderBy(
         F.col("c").desc(), *[F.col(c).asc() for c in key_cols]) \
         .limit(top_k).agg(F.sum("c").alias("tk")).collect()[0].tk
+    topk = int(topk or 0)  # empty input: report n_keys=0, null shares
     total = F.sum("c").over(Window.partitionBy())
     withp = counts.select("c", (F.col("c") / total).alias("p"))
     return withp.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("c").alias("n_rows"),
         F.round(F.max("c") / F.sum("c"), 6).alias("max_share"),
-        F.round(F.lit(int(topk)) / F.sum("c"), 6).alias("topk_share"),
+        F.round(F.lit(topk) / F.sum("c"), 6).alias("topk_share"),
         F.round(F.stddev_samp("c") / F.avg("c"), 6).alias("cv"),
         F.round((-F.sum(F.col("p") * F.log("p")))
                 / F.log(F.count(F.lit(1)).cast("double")), 6)

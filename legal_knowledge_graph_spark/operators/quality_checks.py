@@ -33,6 +33,12 @@ def check_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
     where an `expression` rule counts rows where the expression is NOT
     true (violations include NULL results — a contract must hold
     provably). Output (rule, n_violations, n_rows, violation_rate)."""
+    if not rules:
+        raise ValueError("check_rules: empty rule list")
+    seen = [r["name"] for r in rules]
+    if len(set(seen)) != len(seen):
+        dups = sorted({n for n in seen if seen.count(n) > 1})
+        raise ValueError(f"check_rules: duplicate rule names {dups}")
     aggs = [F.count(F.lit(1)).alias("_n")]
     names = []
     for r in rules:

@@ -311,3 +311,34 @@ def weighted_sample_k(
         out = out.drop("_stratum")
         return out.select(*[c for c in docs.columns if c != "_stratum"])
     return out.select(*docs.columns)
+
+
+def salted_smallest_k(
+    df: DataFrame, part_cols: list, order_col: str, k: int,
+    n_salts: int = 64, salt_seed: int = 0x5EED,
+) -> DataFrame:
+    """Generic two-phase smallest-k per group (the exact_k_per_stratum
+    discipline, shared by kmv_distinct / kmv_rolling_distinct /
+    inverted_index): a local rank within (group, salt) bounds every
+    window task at ~1/n_salts of even the hottest group, then the
+    global rank sees <= n_salts x k survivors per group. Rows must be
+    unique on (part_cols, order_col); returns exactly each group's k
+    smallest by `order_col` ASC with the helper columns dropped (any
+    global-top-k row is within its salt's local top-k, so phase 1 never
+    discards a winner). The salt seed does not affect the OUTPUT — only
+    which task ranks which slice."""
+    from pyspark.sql.window import Window
+
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(order_col, F.lit(salt_seed)), F.lit(n_salts)))
+    w1 = Window.partitionBy(*part_cols, "_salt") \
+        .orderBy(F.col(order_col).asc())
+    w2 = Window.partitionBy(*part_cols).orderBy(F.col(order_col).asc())
+    return (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= k)
+        .drop("_salt", "_r1", "_r2")
+    )

@@ -36,9 +36,8 @@ def kmv_distinct(
     can read the error directly. Groups with fewer than k distinct
     values report their EXACT cardinality (every hash is in the sketch:
     the standard small-set fallback). Estimates round to 6 places."""
-    from pyspark.sql.window import Window
+    from .sampling import salted_smallest_k
 
-    n_salts = 64
     pairs = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("string").alias("_v")) \
@@ -48,16 +47,7 @@ def kmv_distinct(
     # sketch is defined over distinct hashes, so collapse again on the
     # hash before ranking (both engines see the identical hash set)
     hashes = pairs.select("grp", "_h").dropDuplicates(["grp", "_h"])
-    salted = hashes.withColumn(
-        "_salt", F.pmod(F.xxhash64("_h", F.lit(0x5EED)), F.lit(n_salts)))
-    w1 = Window.partitionBy("grp", "_salt").orderBy(F.col("_h").asc())
-    w2 = Window.partitionBy("grp").orderBy(F.col("_h").asc())
-    kept = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= k)
-        .withColumn("_r2", F.row_number().over(w2))
-        .where(F.col("_r2") <= k)
-    )
+    kept = salted_smallest_k(hashes, ["grp"], "_h", k)
     sk = kept.groupBy("grp").agg(
         F.count(F.lit(1)).alias("_n_in_sketch"),
         F.max("_h").alias("_hk"))
@@ -94,23 +84,15 @@ def kmv_rolling_distinct(
     array_distinct -> array_sort -> slice) on k-bounded arrays."""
     from pyspark.sql.window import Window
 
-    n_salts = 64
+    from .sampling import salted_smallest_k
+
     hour = F.date_trunc("hour", F.col(group_ts_col)).alias("hour")
     pairs = events.select(
         hour, F.col(value_col).cast("string").alias("_v")) \
         .dropDuplicates(["hour", "_v"]) \
         .withColumn("_h", _hash32("_v", seed)) \
         .select("hour", "_h").dropDuplicates(["hour", "_h"])
-    salted = pairs.withColumn(
-        "_salt", F.pmod(F.xxhash64("_h", F.lit(0x5EED)), F.lit(n_salts)))
-    w1 = Window.partitionBy("hour", "_salt").orderBy(F.col("_h").asc())
-    w2 = Window.partitionBy("hour").orderBy(F.col("_h").asc())
-    kept = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= k)
-        .withColumn("_r2", F.row_number().over(w2))
-        .where(F.col("_r2") <= k)
-    )
+    kept = salted_smallest_k(pairs, ["hour"], "_h", k)
     sketches = kept.groupBy("hour").agg(
         F.array_sort(F.collect_list("_h")).alias("_sk"))
     wr = Window.orderBy("hour").rowsBetween(-(window_hours - 1), 0)

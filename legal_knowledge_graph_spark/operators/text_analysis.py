@@ -904,24 +904,14 @@ def inverted_index(
     sees <= 64 x cap survivors per word — no full-group sort ever runs
     in one task. df comes from a map-side-combining count aggregate,
     never a second token scan."""
-    from pyspark.sql.window import Window
+    from .sampling import salted_smallest_k
 
-    n_salts = 64
     pairs = docs.select(
         "doc_id", F.explode(_split_words(text_col)).alias("word")) \
         .where(F.col("word") != "") \
         .dropDuplicates(["word", "doc_id"])
     dfreq = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    salted = pairs.withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id", F.lit(0x1DE7)), F.lit(n_salts)))
-    w1 = Window.partitionBy("word", "_salt").orderBy(F.col("doc_id").asc())
-    w2 = Window.partitionBy("word").orderBy(F.col("doc_id").asc())
-    kept = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= max_postings)
-        .withColumn("_r2", F.row_number().over(w2))
-        .where(F.col("_r2") <= max_postings)
-    )
+    kept = salted_smallest_k(pairs, ["word"], "doc_id", max_postings)
     postings = kept.groupBy("word").agg(
         F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
         .alias("postings"))

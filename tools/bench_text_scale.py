@@ -24,6 +24,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
@@ -50,10 +51,8 @@ def build_docs(spark, n_docs: int):
 
 
 def _fp(df):
-    r = df.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.bit_xor(F.xxhash64(*df.columns)).alias("fp")).collect()[0]
-    return int(r.rows), int(r.fp)
+    from benchlib import fingerprint_all_cols
+    return fingerprint_all_cols(df)
 
 
 def main() -> None:
