@@ -24,6 +24,21 @@ from pyspark.sql import DataFrame, functions as F
 
 BROADCAST_RANKS_MAX = 2_000_000
 BROADCAST_EDGES_MAX = 4_000_000
+# Separate, higher ceiling for a PACKED-LONG edge-key build side
+# (triangle_count's closing-edge semi-join when node ids pack into one
+# long). r6 stage forensics at sf1.0: with 8.5M closing edges just over
+# the generic 4M cap, the ~30x-larger wedge table (200M rows) was
+# shuffled instead — 7 GB shuffle read + 6.5 GB spill, 77 s in one
+# stage (graph_triangles 133 s -> 32 s once broadcast). A LongHashed-
+# Relation is ~16 B/row, so 32M rows is ~0.5 GB — inside the guide's
+# "a few hundred MB is fine" broadcast budget (§3.1) and far below the
+# 8 GB / 512M-row hard cap — while the wedge table it spares is
+# O(sum outdeg^2). The generic cap stays 4M: a string-keyed build was
+# measured strictly WORSE at 5.7M rows (link_prediction 15.6 s -> 24.7 s
+# when force-broadcast: single-threaded driver build of a wide string
+# relation outweighs the shuffle it saves). Above the cap the shuffled
+# semi-join remains the 100 TB path.
+BROADCAST_EDGE_KEYS_MAX = 32_000_000
 
 
 def _side(df: DataFrame, n_rows: int) -> DataFrame:
@@ -210,7 +225,7 @@ def triangle_count(
             (F.col("x").cast("long") * pack + F.col("y").cast("long"))
             .alias("k"))
         tris = wk.join(
-            F.broadcast(ck) if n_edges <= BROADCAST_EDGES_MAX else ck,
+            F.broadcast(ck) if n_edges <= BROADCAST_EDGE_KEYS_MAX else ck,
             "k", "left_semi").drop("k")
     else:
         tris = wedges.join(
