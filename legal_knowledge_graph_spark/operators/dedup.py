@@ -29,6 +29,7 @@ import hashlib
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..partitioning import repartition_compute, repartition_wide
 from .text_analysis import fingerprints
 
 SHINGLE_K = 3
@@ -65,7 +66,11 @@ def _shingles(docs: DataFrame, text_col: str) -> DataFrame:
         lambda x, i: F.concat_ws(
             " ", x, *[F.element_at(w, i + 1 + j) for j in range(1, K)]))
     return (
-        docs.withColumn("_w", words).where(F.size(w) >= K)
+        # the shingle explode is the corpus's heaviest projection and
+        # sits directly on a small-file scan: widen first (r6,
+        # partitioning.repartition_compute note)
+        repartition_compute(docs).withColumn("_w", words)
+        .where(F.size(w) >= K)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
@@ -82,7 +87,8 @@ def ngram_jaccard_pairs(
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= df_cap).select("shingle")
     )
-    sh_b = sh.join(rare, "shingle")
+    # fan-out join: pin full width (see partitioning.repartition_wide)
+    sh_b = repartition_wide(sh.join(rare, "shingle"), "shingle")
     a, b = sh_b.alias("a"), sh_b.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -265,8 +271,9 @@ def minhash_lsh_pairs(
     # _minhash_candidates for contracts that accept it; under an
     # exact-recall contract it is dominated (r=1 bands collide on hot
     # min-shingles, and per-candidate verify costs ~2x the doc's full
-    # posting list).
-    shb = sh.join(rare, "shingle")
+    # posting list). The explicit full-width repartition pins the
+    # fan-out join against AQE coalescing (partitioning module note).
+    shb = repartition_wide(sh.join(rare, "shingle"), "shingle")
     inter = (
         shb.alias("a").join(shb.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -355,28 +362,45 @@ def _minhash_candidates(sh: DataFrame, num_hash_tables: int) -> DataFrame:
 @F.pandas_udf(T.LongType())
 def _simhash_udf(texts: pd.Series) -> pd.Series:
     """64-bit SimHash: per-token md5-derived 64-bit hashes, bitwise
-    majority vote."""
+    majority vote.
 
-    def simhash(text: str) -> int:
-        toks = (text or "").lower().split()
+    r6 OPTIMIZATION (guide §4.2): same signature bit-for-bit, computed
+    vectorized — token md5s are memoized across the whole batch (Zipf:
+    most occurrences are repeats), the per-bit majority is one numpy
+    broadcast + reduction instead of a 64-iteration Python loop per
+    token, and the two's-complement fold is a uint64 view. The old
+    row-at-a-time form cost ~64 Python ops per token occurrence.
+    Majority test: acc[bit] = ones - (n - ones) > 0  <=>  2*ones > n,
+    integer-exact."""
+    import numpy as np
+
+    memo: dict = {}
+    bitpos = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = set((text or "").lower().split())
         if not toks:
-            return 0
-        acc = [0] * 64
-        for tok in set(toks):
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return texts.map(simhash)
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, tok in enumerate(toks):
+            h = memo.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big")
+                memo[tok] = h
+            hs[j] = h
+        ones = ((hs[:, None] >> bitpos) & np.uint64(1)).sum(axis=0)
+        maj = (2 * ones) > len(toks)
+        out[i] = (maj.astype(np.uint64) << bitpos).sum(
+            dtype=np.uint64).astype(np.int64)
+    return pd.Series(out)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", _simhash_udf(F.col(text_col)).alias("simhash"))
+    # compute-heavy UDF over a small file scan: widen first
+    # (partitioning.repartition_compute note)
+    return repartition_compute(docs).select(
+        "doc_id", _simhash_udf(F.col(text_col)).alias("simhash"))
 
 
 # Max DISTINCT signatures per (band, value) bucket before the bucket is
@@ -689,7 +713,8 @@ def duplicate_spans(
         lambda x, i: F.concat_ws(
             " ", x, *[F.element_at(w, i + 1 + j) for j in range(1, k)]))
     pos_windows = (
-        docs.withColumn("_w", words).where(F.size(w) >= k)
+        repartition_compute(docs).withColumn("_w", words)
+        .where(F.size(w) >= k)
         .select("doc_id", F.posexplode(sh).alias("_p0", "window"))
         .select("doc_id", (F.col("_p0") + 1).alias("pos"), "window")
     )
@@ -699,7 +724,10 @@ def duplicate_spans(
         .where(F.col("nd") >= min_docs)
         .select("window")
     )
-    hits = pos_windows.join(dup_set, "window", "left_semi")
+    # the positional-window explode is ~k x the corpus tokens behind a
+    # small shuffle: pin the per-doc window's width (partitioning note)
+    hits = repartition_wide(
+        pos_windows.join(dup_set, "window", "left_semi"), "doc_id")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(wd)
     new_island = F.when(
@@ -747,17 +775,50 @@ def remove_duplicate_spans(
     w = F.col("_w")
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     toks = (
-        docs.withColumn("_w", words)
+        repartition_compute(docs).withColumn("_w", words)
         .select("doc_id", F.posexplode(w).alias("_p0", "tok"))
         .where(F.col("tok") != "")
         .select("doc_id", (F.col("_p0") + 1).alias("pos"), "tok")
     )
-    spans = duplicate_spans(docs, text_col, k=k, min_docs=min_docs)
-    covered = spans.select(
+    # r6 OPTIMIZATION: removal only needs the covered POSITION SET, and
+    # the union over merged islands of [span_start, span_end] equals
+    # the union over duplicated hit windows of [pos, pos+k-1] — so the
+    # covered set comes straight from the LEFT SEMI'd positional
+    # windows (the same dup_set/hits stages duplicate_spans runs),
+    # skipping the gaps-and-islands window, the span aggregate and its
+    # re-explode. Identical output by construction.
+    wexpr = F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(w, i + 1 + j) for j in range(1, k)]))
+    pos_windows = (
+        repartition_compute(docs).withColumn("_w", words)
+        .where(F.size(w) >= k)
+        .select("doc_id", F.posexplode(wexpr).alias("_p0", "window"))
+        .select("doc_id", (F.col("_p0") + 1).alias("pos"), "window")
+    )
+    dup_set = (
+        pos_windows.select("doc_id", "window").distinct()
+        .groupBy("window").agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("window")
+    )
+    hits = pos_windows.join(dup_set, "window", "left_semi")
+    # no distinct: LEFT ANTI is insensitive to duplicate build keys
+    covered = hits.select(
         "doc_id",
-        F.explode(F.sequence("span_start", "span_end")).alias("pos"))
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    n_orig = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+        F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("pos"))
+    kept = repartition_wide(
+        toks.join(covered, ["doc_id", "pos"], "left_anti"), "doc_id")
+    # r6: n_tokens is a projection (size of the empty-filtered split),
+    # not an explode + groupBy — one fewer corpus shuffle; greatest/
+    # coalesce guard the null-text row (size(NULL) is NULL under ANSI,
+    # -1 under the legacy flag; the old explode path yielded 0)
+    n_orig = docs.select(
+        "doc_id",
+        F.greatest(F.lit(0), F.coalesce(
+            F.size(F.filter(words, lambda x: x != "")), F.lit(0)))
+        .alias("n_tokens"))
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(" ", F.transform(
@@ -765,12 +826,11 @@ def remove_duplicate_spans(
             lambda s: s["tok"])).alias("cleaned_text"),
     )
     return (
-        docs.select("doc_id").join(n_orig, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        n_orig.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            (F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
             .cast("long").alias("n_removed"),
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )

@@ -207,7 +207,13 @@ def triangle_count(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("head"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("head_deg"),
     ).localCheckpoint()  # wedge join consumes it twice, closing join once
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedge fan-out (~30x the edges): pin the self-join's width against
+    # AQE coalescing (partitioning module note) — the join input is a
+    # small shuffle but each task emits O(sum outdeg^2) wedge rows
+    from ..partitioning import repartition_wide
+
+    o_wide = repartition_wide(oriented, "tail")
+    o1, o2 = o_wide.alias("o1"), o_wide.alias("o2")
     # wedges (x, y) around a shared tail, x before y in (degree, id) order
     # => if the triangle closes, the closing oriented edge is exactly x->y
     x_first = (F.col("o1.head_deg") < F.col("o2.head_deg")) | (

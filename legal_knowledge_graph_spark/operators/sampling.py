@@ -225,7 +225,9 @@ def importance_weights(
             F.md5(F.concat(F.col("word"), F.lit(":"), F.lit(str(seed)))),
             1, 8), 16, 10).cast("long"),
         F.lit(n_buckets))
-    words = docs.select(
+    from ..partitioning import repartition_compute
+
+    words = repartition_compute(docs).select(
         F.col(id_col),
         is_target.cast("int").alias("_t"),
         F.explode(F.filter(_split_words(text_col), lambda x: x != ""))

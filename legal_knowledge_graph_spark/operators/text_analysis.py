@@ -21,6 +21,8 @@ import hashlib
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..partitioning import repartition_compute
+
 # small closed stopword sets; LIKE-based matching so the DuckDB oracle is
 # trivially identical
 EN_STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"]
@@ -121,7 +123,7 @@ def top_keywords(docs: DataFrame, k: int = 10, min_len: int = 2,
     length >= min_len by frequency, deterministic tiebreak on the word."""
     from pyspark.sql.window import Window
 
-    words = docs.select(
+    words = repartition_compute(docs).select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("word"))
     counts = (
@@ -371,7 +373,7 @@ def unigram_lm_scores(
     restates both passes."""
     from pyspark.sql import Observation
 
-    words = docs.select(
+    words = repartition_compute(docs).select(
         "doc_id",
         F.explode(F.filter(_split_words(text_col), lambda x: x != ""))
         .alias("word"))
@@ -420,7 +422,7 @@ def corpus_vocab(
     unpartitioned window over the full vocab."""
     from pyspark.sql.window import Window
 
-    words = docs.select(
+    words = repartition_compute(docs).select(
         F.explode(_split_words(text_col)).alias("word"))
     counts = (
         words.where(F.length("word") >= min_len)
@@ -462,7 +464,7 @@ def tfidf_keywords(
     from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
-    words = docs.select(
+    words = repartition_compute(docs).select(
         "doc_id", F.explode(_split_words(text_col)).alias("word"))
     tf = (
         words.where(F.length("word") >= min_len)
@@ -520,7 +522,7 @@ def pmi_collocations(
     from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
-    w_docs = docs.select(_split_words(text_col).alias("_w"))
+    w_docs = repartition_compute(docs).select(_split_words(text_col).alias("_w"))
     words = w_docs.select(F.explode("_w").alias("word")) \
         .where(F.col("word") != "")
     # adjacent pairs via zip-shift; sequence() descends when stop < start,
@@ -809,8 +811,9 @@ def ngram_diversity(
                                    for k in range(1, n)])))
             ).otherwise(F.array().cast("array<string>"))
         gram_sets.append(
-            docs.select(F.col(by).alias("stratum"),
-                        _split_words(text_col).alias("_w"))
+            repartition_compute(docs)
+            .select(F.col(by).alias("stratum"),
+                    _split_words(text_col).alias("_w"))
             .select("stratum", F.lit(n).alias("n"),
                     F.explode(
                         F.filter(grams, lambda g: g != "")).alias("gram")))
@@ -906,7 +909,7 @@ def inverted_index(
     never a second token scan."""
     from .sampling import salted_smallest_k
 
-    pairs = docs.select(
+    pairs = repartition_compute(docs).select(
         "doc_id", F.explode(_split_words(text_col)).alias("word")) \
         .where(F.col("word") != "") \
         .dropDuplicates(["word", "doc_id"])
@@ -948,7 +951,7 @@ def textrank_chunks(
     overlap pairs are enumerated via the (doc_id, word) inverted index
     (see inline note), so per-task fan-out is bounded by shared-word
     co-occurrence, never by n_chunks^2 of a fat document."""
-    toks = docs.select(
+    toks = repartition_compute(docs).select(
         "doc_id",
         F.posexplode(_split_words(text_col)).alias("pos", "w")) \
         .where(F.col("w") != "")
@@ -1099,7 +1102,7 @@ def rake_keyphrases(
     from pyspark.sql.window import Window
 
     stops = stopwords if stopwords is not None else EN_STOPWORDS
-    toks = docs.select(
+    toks = repartition_compute(docs).select(
         "doc_id",
         F.posexplode(_split_words(text_col)).alias("pos", "w")) \
         .where(F.col("w") != "")

@@ -46,22 +46,20 @@ def build_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # r6 OPTIMIZATION (guide §2.2/§2.5): partition coalescing is OFF
-        # by default. AQE sizes post-shuffle partitions from the shuffle's
-        # COMPRESSED INPUT bytes — target = max(min(total/parallelism,
-        # advisory), minPartitionSize) — which is blind to join fan-out:
-        # the dedup posting self-join reads a ~2 MB compressed shuffle
-        # and emits 127M rows, so coalescing ran it on a handful of
-        # tasks (measured at sf1.0: 200 s coalesced vs 12 s at the
-        # configured 64 partitions; minPartitionSize=64k only recovered
-        # it to 59 s). Every explosive self-join in the engine (shingle
-        # postings, triangle wedges, co-occurrence, band buckets) sits
-        # behind exactly such a small shuffle, so the fleet-wide default
-        # is off; shuffle width stays parameterised via
-        # SPARK_GRAFT_SHUFFLE (2x cores at the bench, cluster-sized in
-        # production). Skew-join splitting (a separate AQE rule) stays on.
+        # r6: coalescing stays ON — iteration-heavy operators scanning
+        # small checkpoints are dominated by per-task fixed cost and
+        # need byte-based coalescing (measured: the same 11M-row degree
+        # aggregate costs 2.6 s from a 64-partition checkpoint vs 0.8 s
+        # from an 8-partition one; a full-suite A/B with coalescing off
+        # regressed the whole iterative graph family ~+50 s at sf1.0).
+        # Coalescing's one pathology — fan-out joins behind small
+        # shuffles coalesced onto a handful of tasks (measured 200 s vs
+        # 12 s on the dedup posting self-join) — is fixed at the
+        # operator level with partitioning.repartition_wide (an explicit
+        # REPARTITION_BY_NUM exchange AQE never coalesces), not by
+        # flipping the global default.
         .config("spark.sql.adaptive.coalescePartitions.enabled",
-                os.environ.get("SPARK_GRAFT_COALESCE", "false"))
+                os.environ.get("SPARK_GRAFT_COALESCE", "true"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_BATCH)

@@ -30,10 +30,14 @@ def docs(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
 
+# r6: caps re-baselined for the widening repartitions (partitioning
+# module) — REPARTITION exchanges print once per subtree reference but
+# are reused at runtime (ReusedExchange); cartesian/nested-loop stay
+# forbidden outright.
 @pytest.mark.parametrize("builder,max_exchanges", [
-    (lambda d: ngram_jaccard_pairs(d, threshold=0.5), 6),
-    (lambda d: minhash_lsh_pairs(d, threshold=0.5), 21),
-    (lambda d: simhash_near_dup_pairs(d, max_hamming=3), 14),
+    (lambda d: ngram_jaccard_pairs(d, threshold=0.5), 14),
+    (lambda d: minhash_lsh_pairs(d, threshold=0.5), 24),
+    (lambda d: simhash_near_dup_pairs(d, max_hamming=3), 16),
 ], ids=["ngram_jaccard", "minhash_lsh", "simhash"])
 def test_dedup_pair_generator_plans(spark, docs, builder, max_exchanges):
     plan = _plan(builder(docs))

@@ -112,9 +112,14 @@ def main() -> None:
     # an equi-join on blocking keys — no nested-loop/cartesian anywhere —
     # and the shuffle count must stay at the designed number (an Exchange
     # regression means a blocking key or pre-aggregation was lost).
-    for qname, max_exchanges in [("doc_ngram_jaccard", 6),
-                                 ("doc_minhash_dedup", 21),
-                                 ("doc_simhash_dedup", 14)]:
+    # r6: caps re-baselined — the widening repartitions (partitioning
+    # module: repartition_wide pins fan-out joins against AQE
+    # coalescing, repartition_compute parallelizes small-file scans)
+    # are REPARTITION exchanges that appear once per subtree reference
+    # in the printed plan but are reused at runtime (ReusedExchange).
+    for qname, max_exchanges in [("doc_ngram_jaccard", 14),
+                                 ("doc_minhash_dedup", 24),
+                                 ("doc_simhash_dedup", 16)]:
         p = plan_of(E.queries()[qname](spark, sf_dir))
         check(f"{qname} no-cartesian", p,
               must_not=("BroadcastNestedLoopJoin", "CartesianProduct"))
