@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..partitioning import repartition_compute
+
 # closed alias->canonical term dictionary (J1 analog on the documents
 # vocabulary); mirrors schema.DICTIONARY's shape
 TERM_DICT: list[tuple[str, str]] = [
@@ -36,7 +38,9 @@ def term_dict_df(spark: SparkSession) -> DataFrame:
 def doc_term_mentions(docs: DataFrame, spark: SparkSession) -> DataFrame:
     """Dictionary mention detection: word explode ⋈ broadcast dictionary.
     Output: doc_id, alias, canonical, n (mention count in doc)."""
-    words = docs.select(
+    # word explode on a small-file scan: widen first (r6, partitioning
+    # module note)
+    words = repartition_compute(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("alias"))
     d = term_dict_df(spark)
     return (

@@ -147,6 +147,10 @@ def funnel_latency(
     user equi-join as `funnel` (each step's input shrinks to prior
     survivors); the previous completion time rides the join, so
     latency stats cost ONE extra one-row aggregate per step."""
+    if len(steps) < 2:
+        # r6 (ADVICE r5): no latency pairs exist below 2 steps — fail
+        # loudly instead of an opaque IndexError on stat_rows[0]
+        raise ValueError("funnel_latency requires at least 2 steps")
     prev = None
     stat_rows = []
     for i, st in enumerate(steps):

@@ -296,7 +296,6 @@ def label_propagation(
     per-node argmax window over that node's own candidate labels. Each
     round's lineage is cut with a checkpoint; no driver-side data."""
     from pyspark.sql import Observation
-    from pyspark.sql.window import Window
 
     # symmetrize: (v, u) for both directions, self-loops dropped
     half = edges.select(F.col(src).alias("v"), F.col(dst).alias("u")) \
@@ -313,17 +312,21 @@ def label_propagation(
         .localCheckpoint()
     )
     n_nodes = obs_n.get["n"]
-    w = Window.partitionBy("v").orderBy(F.col("n").desc(), F.col("label").asc())
     for _ in range(n_iter):
         neigh = labels.select(F.col("node").alias("u"), "label")
         votes = (
             e.join(_side(neigh, n_nodes), "u")
             .groupBy("v", "label").agg(F.count(F.lit(1)).alias("n"))
         )
+        # r6: the per-round argmax is min(struct(-n, label)) — exactly
+        # (n DESC, label ASC), integer/string-exact — instead of a
+        # row_number window, removing the per-round sort + window
+        # buffering; the struct-min is map-side combinable.
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("v").alias("node"), "label")
+            votes.groupBy("v").agg(F.min(F.struct(
+                (-F.col("n")).alias("_neg"),
+                F.col("label").alias("_l"))).alias("_m"))
+            .select(F.col("v").alias("node"), F.col("_m._l").alias("label"))
             .localCheckpoint()
         )
     return labels
@@ -672,9 +675,19 @@ def sssp_weighted(
         .groupBy("u", "v").agg(F.min("w").alias("w")) \
         .observe(obs_e,
                  F.sum(F.when(F.col("w") != F.floor("w"), 1).otherwise(0))
-                 .alias("frac")) \
+                 .alias("frac"),
+                 F.min("w").alias("minw")) \
         .localCheckpoint()
-    integral_weights = (obs_e.get["frac"] or 0) == 0
+    got_e = obs_e.get
+    # r6 (ADVICE r5): the non-negative-weight contract is now ENFORCED —
+    # min(w) rides the same observe (zero extra jobs); a negative weight
+    # would silently yield hop-bounded non-shortest-path results and
+    # could trip the (count, sum) early exit mid-relaxation
+    if got_e["minw"] is not None and got_e["minw"] < 0:
+        raise ValueError(
+            f"sssp_weighted requires non-negative weights "
+            f"(min weight = {got_e['minw']})")
+    integral_weights = (got_e["frac"] or 0) == 0
     spark = edges.sparkSession
     uniq_seeds = sorted(set(seeds))
     seed_df = spark.createDataFrame(

@@ -21,7 +21,16 @@ def zorder_key(cols: list, bits: int = 16) -> Column:
     (non-negative ints; values are masked to `bits` bits first). With
     two columns the result is the classic z-curve index: bit i of col 0
     lands at output bit i*n_cols, bit i of col 1 at i*n_cols + 1, ...
-    Pure arithmetic — foldable, codegen-friendly, deterministic."""
+    Pure arithmetic — foldable, codegen-friendly, deterministic.
+
+    CONTRACT NOTE (ADVICE r5): the non-negative-int contract is NOT
+    enforced here — a negative value's two's-complement low bits mask
+    to the TOP of the dimension's range, silently destroying clustering
+    locality for those rows (the key stays valid and deterministic, the
+    layout just degrades). Shift negative-capable dimensions into
+    non-negative range (e.g. col - min) before keying; enforcement is
+    left to callers because a per-row guard would put a branch in the
+    innermost repartition_zorder expression."""
     n = len(cols)
     if n * bits > 63:
         # shift n*bits-1 would reach the long sign bit (negative keys

@@ -198,7 +198,13 @@ def point_in_interval_join(
         return c.cast("timestamp").cast("double")
 
     eps = F.expr("interval 1 microsecond")
-    ivals = intervals.withColumn(
+    # r6 (ADVICE r5): guard end > start BEFORE the bucket explode —
+    # F.sequence(a, b) with a > b generates a DESCENDING sequence, so a
+    # malformed inverted interval would explode into a huge bucket
+    # array instead of matching nothing. Result-preserving: the
+    # half-open residual (p >= start AND p < end) is unsatisfiable
+    # whenever end <= start, so the dropped rows could never match.
+    ivals = intervals.where(F.col(start_col) < F.col(end_col)).withColumn(
         "_bucket",
         F.explode(F.sequence(
             F.floor(_epoch_s(F.col(start_col)) / bucket_width_s),
