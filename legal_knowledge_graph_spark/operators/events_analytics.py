@@ -17,6 +17,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Broadcast cap for association_rules' item-vocabulary sides (singles
+# and its y-alias). Event-type vocabularies are tiny, but the operator
+# is documented for generic baskets where |items| can reach 10^7+
+# (product catalogs); above the cap the shuffled join is the 100 TB
+# path. Same budget rationale as graph_algos.BROADCAST_RANKS_MAX: a
+# few-million-row (string, long) build stays inside the guide §3.1
+# few-hundred-MB broadcast budget. The count is an approx_count_distinct
+# observation (±~2% HLL error — a cap decision, not a result), riding
+# the pairs checkpoint job for free.
+BROADCAST_ITEMS_MAX = 4_000_000
+
 
 def funnel(
     events: DataFrame, steps: list[str],
@@ -390,11 +401,24 @@ def association_rules(
     item) pairs map-side; the pair join is per-basket and bounded by
     items-per-basket^2 (|item vocabulary| is the real-world bound —
     event types, product categories); singles and the basket count
-    attach to the |items|^2 aggregate, never the raw stream."""
+    attach to the |items|^2 aggregate, never the raw stream. The
+    singles sides broadcast only while the observed item vocabulary is
+    under BROADCAST_ITEMS_MAX (the estimate rides the checkpoint job
+    via observe(), no extra job) — a 10^7-item catalog falls back to
+    the shuffled join instead of a driver-OOM broadcast build."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
     pairs_src = events.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("x")) \
         .dropDuplicates(["b", "x"]) \
+        .observe(obs, F.approx_count_distinct("x").alias("n_items")) \
         .localCheckpoint()
+    n_items = obs.get["n_items"]
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_items <= BROADCAST_ITEMS_MAX else df
+
     n_baskets_df = pairs_src.select("b").distinct() \
         .agg(F.count(F.lit(1)).alias("_nb"))
     singles = pairs_src.groupBy("x").agg(F.count(F.lit(1)).alias("nx"))
@@ -405,8 +429,8 @@ def association_rules(
         .groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
     )
     out = (
-        co.join(F.broadcast(singles), "x")
-        .join(F.broadcast(
+        co.join(_side(singles), "x")
+        .join(_side(
             singles.select(F.col("x").alias("y"),
                            F.col("nx").alias("ny"))), "y")
         .crossJoin(F.broadcast(n_baskets_df))

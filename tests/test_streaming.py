@@ -781,3 +781,42 @@ def test_association_rules_closed_form(spark):
     pruned = {(r.antecedent, r.consequent) for r in
               association_rules(ev, min_support=0.4).collect()}
     assert pruned == {("a", "b"), ("b", "a")}
+
+
+def test_association_rules_broadcast_guard(spark, monkeypatch):
+    """The singles sides broadcast only under BROADCAST_ITEMS_MAX
+    (VERDICT r5 #6): small vocab -> BroadcastHashJoin; over the cap ->
+    shuffled join, identical results."""
+    import io
+    from contextlib import redirect_stdout
+    from datetime import datetime as dt
+
+    from legal_knowledge_graph_spark.operators import events_analytics
+    from legal_knowledge_graph_spark.operators.events_analytics import (
+        association_rules,
+    )
+
+    t = dt(2024, 1, 1)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "b"),
+            (4, "c")]
+    ev = spark.createDataFrame(
+        [(i, u, x, t) for i, (u, x) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp")
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    small = association_rules(ev)
+    assert "BroadcastHashJoin" in plan(small)
+
+    monkeypatch.setattr(events_analytics, "BROADCAST_ITEMS_MAX", 0)
+    big = association_rules(ev)
+    assert "BroadcastHashJoin" not in plan(big)
+    assert "CartesianProduct" not in plan(big)
+
+    key = ["antecedent", "consequent"]
+    assert sorted(map(tuple, small.collect())) == \
+        sorted(map(tuple, big.collect())), key
